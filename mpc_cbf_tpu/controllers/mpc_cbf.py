@@ -1,0 +1,324 @@
+"""Iterative MPC-CBF controllers — the flagship (reference `mpc_cbf` lib).
+
+Reference parity:
+- FoV variant:          ``mpc_cbf/src/controller/FovBezierIMPCCBF.cpp:47-223``
+- Connectivity variant: ``mpc_cbf/src/controller/ConnectivityIMPCCBF.cpp:47-215``
+- constraint lifting:   ``mpc_cbf/src/optimization/FovMPCCBFQPOperations.cpp``
+  (instantaneous CBF row applied at horizon step k through the acceleration
+  sampling basis U_basis: A_row = -(a . U_basis[k]) with ub = b)
+- slack plumbing:       ``mpc_cbf/src/optimization/MPCCBFQPGeneratorBase.cpp``
+
+Iteration scheme (both variants):
+  iter 0:   CBF rows evaluated at the *current* state, applied at step 0.
+  iter > 0: previous iterate's curve sampled at h_samples[0..cbf_horizon)
+            -> predicted states -> CBF rows applied at their step k.
+  (impc_iter is static, so the loop unrolls into one jitted program.)
+
+Fixed-shape design: the CBF block always has
+``num_families * cbf_horizon * max_neighbors`` rows; at iter 0 only the
+k = 0 rows are active and the rest are masked. One compiled program serves
+every iteration/neighbor configuration, vmapped over agents and scenarios.
+
+Slack weights are distance-ranked (nearest neighbor keeps the highest
+violation price): w_i = slack_cost * decay^rank(i)
+(ConnectivityIMPCCBF.cpp:74-101; the FoV controller's
+``slack_weights[i] = w * decay^{idx[i]}`` at FovBezierIMPCCBF.cpp:76-81
+applies the forward instead of inverse permutation — we implement the rank
+semantics both variants intend).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_cbf_tpu.types import Array, QPBatch, BIG, State
+from mpc_cbf_tpu.ops.cbf import FovCBF, ConnectivityCBF
+from mpc_cbf_tpu.ops.geometry import distance_to_ellipse
+from mpc_cbf_tpu.ops.qp import solve_batch, ADMMConfig
+from mpc_cbf_tpu.controllers.bezier_mpc import BezierMPCOperator
+
+
+@dataclasses.dataclass(frozen=True)
+class IMPCParams:
+    """cbf_params of base_config.json:55-63 (IMPCParams in the reference)."""
+    cbf_horizon: int = 2
+    impc_iter: int = 2
+    slack_mode: bool = False
+    slack_cost: float = 50000.0
+    slack_decay_rate: float = 0.1
+
+
+class IMPCResult(NamedTuple):
+    coeffs: Array          # [n_dec] final Bezier control points
+    success: Array         # bool: all iterations converged
+    pri_res: Array         # worst primal residual across iterations
+    iterates: Array        # [impc_iter, n_dec] per-iteration solutions
+
+
+def _rank_weights(distances: Array, w_init: float, decay: float) -> Array:
+    """w[i] = w_init * decay^rank(i), nearest first."""
+    order = jnp.argsort(distances)
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return w_init * decay**ranks
+
+
+class _IMPCCBFBase:
+    """Shared fixed-shape assembly for both IMPC-CBF variants."""
+
+    #: number of CBF constraint families per neighbor (4 for FoV, 1 for conn)
+    num_families: int = 1
+    #: continuity degrees: Fov uses d in [0, cont), connectivity [0, cont]
+    continuity_inclusive: bool = False
+
+    def __init__(self, op: BezierMPCOperator, impc: IMPCParams, max_neighbors: int,
+                 solver: ADMMConfig = ADMMConfig(iters=150)):
+        self.op = op
+        self.impc = impc
+        self.N = max_neighbors
+        self.S = max_neighbors if impc.slack_mode else 0
+        self.solver = solver
+        self.n = op.n_dec + self.S
+
+        upto = op.bezier.continuity_degree + (1 if self.continuity_inclusive else 0)
+        self._cont_rows = op.pw.continuity_rows(upto)
+        self.m_cbf = self.num_families * impc.cbf_horizon * max_neighbors
+
+    # -- variant hooks -------------------------------------------------------
+    def _cbf_rows_at(self, x: Array, neighbor_blob: Array):
+        """Return (A [F,3], b [F]) instantaneous CBF rows for one neighbor at
+        one state, F = num_families."""
+        raise NotImplementedError
+
+    def _neighbor_distance(self, current_pos: Array, neighbor_blob: Array) -> Array:
+        raise NotImplementedError
+
+    def _extra_rows(self, current: State, neighbor_blob: Array, neighbor_mask: Array):
+        """Optional variant-specific rows (e.g. Voronoi); returns list of
+        (A, lb, ub) over the full n columns or None."""
+        return None
+
+    # -- assembly ------------------------------------------------------------
+    def _static_blocks(self, current: State):
+        op, dt = self.op, current.pos.dtype
+        A_eq = jnp.asarray(
+            np.concatenate([op.init_pos_rows, op.init_vel_rows, self._cont_rows]), dt
+        )
+        t_eq = jnp.concatenate(
+            [current.pos, current.vel, jnp.zeros(self._cont_rows.shape[0], dt)]
+        )
+        A_bd, lb_bd, ub_bd = op.bound_rows(dt)
+        return (A_eq, t_eq, t_eq), (A_bd, lb_bd, ub_bd)
+
+    def _cbf_block(self, pred_states: Array, neighbor_blob: Array,
+                   neighbor_mask: Array, active_k: Array):
+        """All CBF rows: pred_states [H, 6] (H = cbf_horizon), applied at
+        step k; active_k [H] bool masks which horizon steps are in use.
+
+        Returns (A [m_cbf, n_dec], ub [m_cbf], slack_idx [m_cbf]).
+        """
+        op = self.op
+        H, F, N = self.impc.cbf_horizon, self.num_families, self.N
+        dt = pred_states.dtype
+        U = jnp.asarray(op.U_basis, dt)
+
+        def rows_for(k, x_k, nbr):
+            A_f, b_f = self._cbf_rows_at(x_k, nbr)  # [F,3],[F]
+            blk = jax.lax.dynamic_slice_in_dim(U, k * op.dim, op.dim, axis=0)
+            return -(A_f @ blk), b_f  # [F, n_dec], [F]
+
+        # vmap over horizon steps and neighbors
+        ks = jnp.arange(H)
+        A_all, b_all = jax.vmap(
+            lambda k, x_k: jax.vmap(lambda nbr: rows_for(k, x_k, nbr))(neighbor_blob)
+        )(ks, pred_states)  # A: [H, N, F, n_dec], b: [H, N, F]
+
+        mask = jnp.broadcast_to(
+            active_k[:, None, None] & neighbor_mask[None, :, None], (H, N, F)
+        )
+        A_all = jnp.where(mask[..., None], A_all, 0.0)
+        ub_all = jnp.where(mask, b_all, BIG)
+        slack_idx = jnp.broadcast_to(jnp.arange(N)[None, :, None], (H, N, F))
+        return (
+            A_all.reshape(self.m_cbf, op.n_dec),
+            ub_all.reshape(self.m_cbf),
+            slack_idx.reshape(self.m_cbf),
+            mask.reshape(self.m_cbf),
+        )
+
+    def _widen(self, A: Array, slack_idx: Optional[Array] = None,
+               mask: Optional[Array] = None) -> Array:
+        """Append slack columns (zero, or -1 at slack_idx where mask)."""
+        dt = A.dtype
+        if self.S == 0:
+            return A
+        if slack_idx is None:
+            return jnp.concatenate([A, jnp.zeros((*A.shape[:-1], self.S), dt)], axis=-1)
+        cols = -jax.nn.one_hot(slack_idx, self.S, dtype=dt)
+        if mask is not None:
+            cols = jnp.where(mask[..., None], cols, 0.0)
+        return jnp.concatenate([A, cols], axis=-1)
+
+    def assemble(self, current: State, ref_positions: Array, neighbor_blob: Array,
+                 neighbor_mask: Array, pred_states: Array, active_k: Array) -> QPBatch:
+        op, dt = self.op, current.pos.dtype
+        n, S = self.n, self.S
+
+        # cost
+        P = jnp.zeros((n, n), dt).at[: op.n_dec, : op.n_dec].set(jnp.asarray(op.P_static, dt))
+        q_dec = op.linear_cost(current.stacked, ref_positions)
+        q = jnp.zeros(n, dt).at[: op.n_dec].set(q_dec)
+        if S:
+            dists = jax.vmap(lambda nb: self._neighbor_distance(current.pos, nb))(neighbor_blob)
+            dists = jnp.where(neighbor_mask, dists, jnp.inf)
+            q = q.at[op.n_dec :].set(_rank_weights(dists, self.impc.slack_cost,
+                                                   self.impc.slack_decay_rate))
+
+        (A_eq, lb_eq, ub_eq), (A_bd, lb_bd, ub_bd) = self._static_blocks(current)
+        A_cbf, ub_cbf, slack_idx, cbf_mask = self._cbf_block(
+            pred_states, neighbor_blob, neighbor_mask, active_k
+        )
+
+        blocks = [
+            (self._widen(A_eq), lb_eq, ub_eq),
+            (self._widen(A_bd), lb_bd, ub_bd),
+            (self._widen(A_cbf, slack_idx, cbf_mask), jnp.full(self.m_cbf, -BIG, dt), ub_cbf),
+        ]
+        extra = self._extra_rows(current, neighbor_blob, neighbor_mask)
+        if extra:
+            blocks.extend(extra)
+        if S:
+            eye_s = jnp.concatenate([jnp.zeros((S, op.n_dec), dt), jnp.eye(S, dtype=dt)], axis=-1)
+            blocks.append((eye_s, jnp.zeros(S, dt), jnp.full(S, BIG, dt)))
+
+        return QPBatch(
+            P=P, q=q,
+            A=jnp.concatenate([b[0] for b in blocks], axis=0),
+            lb=jnp.concatenate([b[1] for b in blocks], axis=-1),
+            ub=jnp.concatenate([b[2] for b in blocks], axis=-1),
+        )
+
+    # -- the IMPC loop -------------------------------------------------------
+    def optimize(self, current: State, ref_positions: Array, neighbor_blob: Array,
+                 neighbor_mask: Array, warm: Optional[Array] = None) -> IMPCResult:
+        """Run impc_iter assembly+solve rounds (FovBezierIMPCCBF.cpp:84-223).
+
+        warm: optional [n] primal warm start (e.g. previous MPC step).
+        """
+        op, H = self.op, self.impc.cbf_horizon
+        dt = current.pos.dtype
+        h_samp = jnp.asarray(op.h_samples[:H], dt)
+        pos_E = jnp.asarray(op.pw.eval_matrix(list(np.asarray(op.h_samples[:H])), 0), dt)
+        vel_E = jnp.asarray(op.pw.eval_matrix(list(np.asarray(op.h_samples[:H])), 1), dt)
+
+        # iteration 0: only step 0 active, pred state = current state
+        x_now = jnp.concatenate([current.pos, current.vel])
+        pred0 = jnp.broadcast_to(x_now, (H, 2 * op.dim))
+        active0 = jnp.arange(H) == 0
+
+        x0 = warm if warm is not None else jnp.zeros(self.n, dt)
+        y0 = None
+        coeffs = jnp.zeros(op.n_dec, dt)
+        success = jnp.asarray(True)
+        worst = jnp.asarray(0.0, dt)
+        iterates = []
+
+        for it in range(self.impc.impc_iter):
+            if it == 0:
+                pred, active = pred0, active0
+            else:
+                pos = (pos_E @ coeffs).reshape(H, op.dim)
+                vel = (vel_E @ coeffs).reshape(H, op.dim)
+                pred = jnp.concatenate([pos, vel], axis=-1)
+                active = jnp.ones(H, dtype=bool)
+            qp = self.assemble(current, ref_positions, neighbor_blob, neighbor_mask,
+                               pred, active)
+            sol = solve_batch(qp, self.solver, x0=x0, y0=y0)
+            coeffs = sol.z[: op.n_dec]
+            x0, y0 = sol.z, sol.y
+            success = success & sol.converged
+            worst = jnp.maximum(worst, sol.pri_res)
+            iterates.append(coeffs)
+
+        return IMPCResult(coeffs=coeffs, success=success, pri_res=worst,
+                          iterates=jnp.stack(iterates))
+
+
+class FovIMPCCBF(_IMPCCBFBase):
+    """FoV variant: 4 families (safety, fov-lb, fov-rb, range) + Voronoi
+    hyperplane rows on piece-0 control points.
+
+    neighbor_blob per neighbor: [4] = [x, y, cov_xx=cov(0,0), cov_xy, cov_yy]
+    — actually [5]; the covariance feeds the slack distance ranking only.
+    """
+
+    num_families = 4
+    continuity_inclusive = False
+
+    def __init__(self, op: BezierMPCOperator, cbf: FovCBF, impc: IMPCParams,
+                 max_neighbors: int, box_half_extents=None,
+                 solver: ADMMConfig = ADMMConfig(iters=150)):
+        super().__init__(op, impc, max_neighbors, solver)
+        self.cbf = cbf
+        self.box = jnp.asarray(
+            box_half_extents if box_half_extents is not None else np.zeros(op.dim)
+        )
+
+    @staticmethod
+    def pack_neighbors(positions_xy: Array, covs: Array) -> Array:
+        """[N, 2] + [N, 2, 2] -> blob [N, 5]."""
+        return jnp.concatenate(
+            [positions_xy, covs[..., 0, 0:1], covs[..., 0, 1:2], covs[..., 1, 1:2]],
+            axis=-1,
+        )
+
+    def _cbf_rows_at(self, x, nbr):
+        t_xy = nbr[:2]
+        a_s, b_s = self.cbf.safety_row(x, t_xy)
+        a_l, b_l = self.cbf.lb_row(x, t_xy)
+        a_r, b_r = self.cbf.rb_row(x, t_xy)
+        a_g, b_g = self.cbf.range_row(x, t_xy)
+        return jnp.stack([a_s, a_l, a_r, a_g]), jnp.stack([b_s, b_l, b_r, b_g])
+
+    def _neighbor_distance(self, current_pos, nbr):
+        cov = jnp.array([[nbr[2], nbr[3]], [nbr[3], nbr[4]]])
+        return distance_to_ellipse(current_pos[:2], nbr[:2], cov)
+
+    def _extra_rows(self, current, neighbor_blob, neighbor_mask):
+        other_pos = jnp.concatenate(
+            [neighbor_blob[:, :2], jnp.zeros((self.N, self.op.dim - 2),
+                                             neighbor_blob.dtype)], axis=-1
+        )
+        A_v, lb_v, ub_v = self.op.voronoi_rows(
+            current.pos, other_pos, neighbor_mask, self.box.astype(neighbor_blob.dtype)
+        )
+        return [(self._widen(A_v), lb_v, ub_v)]
+
+
+class ConnectivityIMPCCBF(_IMPCCBFBase):
+    """Connectivity variant: pairwise safety CBF per neighbor
+    (ConnectivityIMPCCBF.cpp:135-160; the lambda2/CLF block is present but
+    disabled in the reference — see enable_connectivity flag), no Voronoi
+    rows, continuity degrees 0..continuity (inclusive, :127-132).
+
+    neighbor_blob per neighbor: full state [6].
+    """
+
+    num_families = 1
+    continuity_inclusive = True
+
+    def __init__(self, op: BezierMPCOperator, cbf: ConnectivityCBF, impc: IMPCParams,
+                 max_neighbors: int, solver: ADMMConfig = ADMMConfig(iters=150)):
+        super().__init__(op, impc, max_neighbors, solver)
+        self.cbf = cbf
+
+    def _cbf_rows_at(self, x, nbr):
+        a, b = self.cbf.safety_row(x, nbr)
+        return a[None], b[None]
+
+    def _neighbor_distance(self, current_pos, nbr):
+        return jnp.linalg.norm(nbr[:2] - current_pos[:2])

@@ -1,0 +1,2 @@
+from mpc_cbf_tpu.ops.qp.canon import box_rows, pad_rows, stack_qp  # noqa: F401
+from mpc_cbf_tpu.ops.qp.admm import solve_batch, ADMMConfig  # noqa: F401
