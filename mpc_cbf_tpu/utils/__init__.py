@@ -1,0 +1,1 @@
+from mpc_cbf_tpu.utils import metrics, config, instances  # noqa: F401

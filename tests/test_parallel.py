@@ -1,0 +1,87 @@
+"""Parallel runtime tests: vmapped rollouts and mesh-sharded scenarios."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_cbf_tpu.types import State
+from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+from mpc_cbf_tpu.ops.qp import ADMMConfig
+from mpc_cbf_tpu.controllers import (
+    BezierParams, MPCParams, BezierMPCOperator, IMPCParams, ConnectivityIMPCCBF,
+)
+from mpc_cbf_tpu.parallel import MultiAgentSim, sharded_rollout, make_mesh
+from mpc_cbf_tpu.utils.instances import circle_swap_instance
+
+
+def _sim(num_agents=2, iters=120):
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    cbf = ConnectivityCBF(0.8, 4.0, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+    ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(impc_iter=1), num_agents - 1,
+                               solver=ADMMConfig(iters=iters))
+    return MultiAgentSim(ctrl, num_agents)
+
+
+def test_rollout_scan_runs_and_moves_to_goal():
+    sim = _sim()
+    init = State(pos=jnp.array([[-1.5, 0.0, 0.0], [1.5, 0.0, 0.0]]),
+                 vel=jnp.zeros((2, 3)))
+    goals = jnp.array([[-1.5, 2.0, 0.0], [1.5, 2.0, 0.0]])  # parallel moves
+    res = sim.rollout(init, goals, 35)
+    assert res.traj_pos.shape == (35, 2, 3)
+    err = np.linalg.norm(np.asarray(res.states.pos - goals)[:, :2], axis=-1)
+    assert err.max() < 0.15, err
+
+
+def test_rollout_failure_holds_position():
+    """With an absurdly low iteration budget the solver won't converge;
+    agents must hold position (reference fallback semantics)."""
+    sim = _sim(iters=1)
+    init = State(pos=jnp.array([[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]]),
+                 vel=jnp.zeros((2, 3)))
+    goals = -init.pos
+    res = sim.rollout(init, goals, 3)
+    assert not bool(res.success.any())
+    np.testing.assert_allclose(np.asarray(res.states.pos), np.asarray(init.pos), atol=1e-5)
+
+
+def test_sharded_rollout_over_scenarios():
+    """8 scenarios sharded over the 8-device virtual mesh; results must
+    match the unsharded per-scenario rollouts."""
+    sim = _sim()
+    mesh = make_mesh()  # all 8 devices on the scenario axis
+    S = 8
+    rng = np.random.default_rng(0)
+    base = np.array([[-1.5, 0.0, 0.0], [1.5, 0.0, 0.0]])
+    inits = np.stack([base + rng.normal(0, 0.05, base.shape) for _ in range(S)])
+    goals = np.stack([-b for b in inits])
+    init_state = State(pos=jnp.asarray(inits), vel=jnp.zeros((S, 2, 3)))
+    res = sharded_rollout(sim, mesh, init_state, jnp.asarray(goals), 5)
+    assert res.traj_pos.shape == (S, 5, 2, 3)
+    assert bool(jnp.all(jnp.isfinite(res.traj_pos)))
+
+    # parity with a single-scenario rollout
+    res0 = sim.rollout(State(pos=jnp.asarray(inits[0]), vel=jnp.zeros((2, 3))),
+                       jnp.asarray(goals[0]), 5, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(res.traj_pos[0]), np.asarray(res0.traj_pos), atol=1e-8
+    )
+
+
+def test_fov_sim_variant():
+    from mpc_cbf_tpu.ops.cbf import FovCBF
+    from mpc_cbf_tpu.controllers import FovIMPCCBF
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    cbf = FovCBF(2.0944, 0.8, 10.0, mpc.v_min, mpc.v_max)
+    ctrl = FovIMPCCBF(op, cbf, IMPCParams(impc_iter=1), max_neighbors=1,
+                      box_half_extents=[0.1, 0.1, 0.0], solver=ADMMConfig(iters=120))
+    sim = MultiAgentSim(ctrl, num_agents=2)
+    init = State(pos=jnp.array([[-1.5, 0.3, 0.0], [1.5, -0.3, 0.0]]),
+                 vel=jnp.zeros((2, 3)))
+    goals = jnp.stack([init.pos[1], init.pos[0]])
+    res = sim.rollout(init, goals, 10)
+    assert bool(jnp.all(jnp.isfinite(res.traj_pos)))
+    # no collision closer than safety distance minus discretization slack
+    d = np.linalg.norm(np.asarray(res.traj_pos[:, 0, :2] - res.traj_pos[:, 1, :2]), axis=-1)
+    assert d.min() > 0.6, d.min()
