@@ -1,0 +1,129 @@
+"""Config-driven simulation runner — the L6/L7 app layer.
+
+Reference parity: the example mains
+(``mpc_cbf/examples/connectivity/MPCCBFFormationControl_example.cpp:18-233``,
+``mpc_cbf/examples/fov/BezierIMPCCBFPFXYYaw_example.cpp``) and the
+run_mpccbf.sh pipeline: load base+task config, build the controller, run the
+closed-loop sim, write a ``states.json`` in the reference's schema
+(states["robots"][i]["states"]), and score with the collision/goal metrics.
+
+Usage:
+  python -m mpc_cbf_tpu.apps.run_sim --base configs/base_config.json \
+      --task configs/tasks_4r_rotate.json --controller connectivity \
+      --sim-runtime 6.0 --out /tmp/states.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int):
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
+    from mpc_cbf_tpu.ops.qp import ADMMConfig
+    from mpc_cbf_tpu.controllers import (
+        BezierMPCOperator, ConnectivityIMPCCBF, FovIMPCCBF,
+    )
+    from mpc_cbf_tpu.parallel import MultiAgentSim
+    from mpc_cbf_tpu.utils import config as cfgmod
+
+    bez = cfgmod.parse_bezier_params(cfg)
+    mpc = cfgmod.parse_mpc_params(cfg)
+    impc = cfgmod.parse_impc_params(cfg)
+    pos_std, vel_std = cfgmod.parse_noise(cfg)
+    op = BezierMPCOperator(bez, mpc, dim=3)
+    solver = ADMMConfig(iters=solver_iters)
+
+    if controller == "connectivity":
+        d_min, d_max = cfgmod.parse_cbf_distances(cfg)
+        cbf = ConnectivityCBF(d_min, d_max, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+        ctrl = ConnectivityIMPCCBF(op, cbf, impc, num_robots - 1, solver=solver)
+    elif controller == "fov":
+        f = cfg.get("fov_cbf_params", {})
+        beta = float(f.get("beta", 120.0)) * np.pi / 180.0
+        cbf = FovCBF(beta, float(f.get("Ds", 0.3)), float(f.get("Rs", 4.0)),
+                     jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+        shape, _ = cfgmod.parse_collision_shape(cfg)
+        half = np.asarray(shape, dtype=float) / 2.0 if np.ndim(shape) else np.zeros(3)
+        ctrl = FovIMPCCBF(op, cbf, impc, num_robots - 1,
+                          box_half_extents=half, solver=solver)
+    else:
+        raise ValueError(f"unknown controller {controller!r} (connectivity|fov)")
+
+    return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
+                         noise_vel_std=vel_std), mpc
+
+
+def main(argv=None) -> int:
+    from mpc_cbf_tpu.types import State
+    from mpc_cbf_tpu.utils import config as cfgmod
+    from mpc_cbf_tpu.utils.metrics import instance_success
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", required=True)
+    p.add_argument("--task", required=True)
+    p.add_argument("--controller", default="connectivity", choices=["connectivity", "fov"])
+    p.add_argument("--sim-runtime", type=float, default=6.0)
+    p.add_argument("--solver-iters", type=int, default=200)
+    p.add_argument("--out", default="states.json")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX backend (cpu/tpu/axon); default: ambient")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        from mpc_cbf_tpu.utils.runtime import force_platform
+        force_platform(args.platform)
+    from mpc_cbf_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
+    cfg = cfgmod.load_config(args.base, args.task)
+    so, sf = cfgmod.parse_tasks(cfg)
+    R = so.shape[0]
+    sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters)
+
+    steps = int(round(args.sim_runtime / mpc.h))
+    init = State(pos=jnp.asarray(so, jnp.float32), vel=jnp.zeros((R, 3), jnp.float32))
+    goals = jnp.asarray(sf, jnp.float32)
+
+    t0 = time.time()
+    res = sim.rollout(init, goals, steps, key=jax.random.PRNGKey(args.seed))
+    res = jax.block_until_ready(res)
+    traj = np.asarray(res.traj_pos)   # [T, R, 3]
+    vels = np.asarray(res.traj_vel)
+    wall = time.time() - t0
+
+    # states.json in the reference's schema
+    out = {"dt": mpc.h, "Ts": mpc.Ts, "robots": {}}
+    for i in range(R):
+        out["robots"][str(i)] = {
+            "states": np.concatenate([traj[:, i], vels[:, i]], axis=-1).tolist(),
+            "goal": sf[i].tolist(),
+        }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+
+    shape, shape_type = cfgmod.parse_collision_shape(cfg)
+    coll = (np.asarray(shape[:2]) if shape_type == "box" else shape)
+    ok, makespan = instance_success(
+        traj.transpose(1, 0, 2), sf, radius=1.0,
+        collision_shape=coll, shape_type=shape_type,
+    )
+    summary = {
+        "controller": args.controller, "num_robots": R, "steps": steps,
+        "success": bool(ok), "makespan": makespan, "wall_s": round(wall, 2),
+        "solver_success_rate": float(np.asarray(res.success, dtype=np.float32).mean()),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

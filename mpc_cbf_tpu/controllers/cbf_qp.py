@@ -103,7 +103,9 @@ class FovCBFController:
 
         A_nbr, b_nbr = jax.vmap(rows_for_neighbor)(neighbor_xy)  # [N,4,3],[N,4]
         A_cbf = (-A_nbr).reshape(4 * N, 3)  # generator negates (FovQPGenerator.cpp:17)
-        ub_cbf = b_nbr.reshape(4 * N)
+        # cap alpha-composition bounds for f32 (see mpc_cbf.CBF_BOUND_CAP)
+        from mpc_cbf_tpu.controllers.mpc_cbf import CBF_BOUND_CAP
+        ub_cbf = jnp.clip(b_nbr.reshape(4 * N), -CBF_BOUND_CAP, CBF_BOUND_CAP)
         row_mask = jnp.repeat(neighbor_mask, 4)
         A_cbf = jnp.where(row_mask[:, None], A_cbf, 0.0)
         ub_cbf = jnp.where(row_mask, ub_cbf, BIG)
@@ -208,6 +210,8 @@ class ConnectivityCBFController:
             return -a, b  # generator negation (ConnectivityQPGenerator.cpp:77-83)
 
         A_saf, b_saf = jax.vmap(safety)(robot_states)  # [R,3],[R]
+        from mpc_cbf_tpu.controllers.mpc_cbf import CBF_BOUND_CAP
+        b_saf = jnp.clip(b_saf, -CBF_BOUND_CAP, CBF_BOUND_CAP)
         A_saf = jnp.where(is_self[:, None], 0.0, A_saf)
         b_saf = jnp.where(is_self, BIG, b_saf)
         # slack idx for neighbor j: its position among non-self robots

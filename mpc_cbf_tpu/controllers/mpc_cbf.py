@@ -53,6 +53,14 @@ class IMPCParams:
     slack_decay_rate: float = 0.1
 
 
+# CBF bound magnitudes are capped here: the alpha compositions (fifth power
+# twice for FoV) reach 1e28 for distant neighbors, which float32 cannot carry
+# through the solver. No achievable |a . U z| exceeds ~1e4, so any bound
+# beyond the cap is equivalent to +inf (and a bound below -cap is still an
+# infeasible row that trips the failure path).
+CBF_BOUND_CAP = 1.0e6
+
+
 class IMPCResult(NamedTuple):
     coeffs: Array          # [n_dec] final Bezier control points
     success: Array         # bool: all iterations converged
@@ -141,6 +149,7 @@ class _IMPCCBFBase:
             active_k[:, None, None] & neighbor_mask[None, :, None], (H, N, F)
         )
         A_all = jnp.where(mask[..., None], A_all, 0.0)
+        b_all = jnp.clip(b_all, -CBF_BOUND_CAP, CBF_BOUND_CAP)
         ub_all = jnp.where(mask, b_all, BIG)
         slack_idx = jnp.broadcast_to(jnp.arange(N)[None, :, None], (H, N, F))
         return (

@@ -51,6 +51,7 @@ class ADMMConfig:
     eps_abs: float = 1e-6
     eps_abs_f32: float = 5e-3   # convergence bar in float32 (f32 ADMM floors ~1e-4)
     rho_updates: int = 3        # outer refactorization rounds (1 = fixed rho)
+    refine_steps: int = 1       # iterative-refinement passes on the f32 KKT solve
     ruiz_iters: int = 10        # equilibration sweeps (0 = no scaling)
     rho_min: float = 1e-6
     rho_max: float = 1e6
@@ -83,10 +84,11 @@ def _ruiz(P, A, q, iters: int):
         Pb = d[:, None] * Pb * d[None, :]
         Ab = e[:, None] * Ab * d[None, :]
         qb = d * qb
-        # cost normalization
+        # cost normalization (OSQP §5.1: include the linear term so large
+        # slack weights don't dwarf the quadratic block)
         gamma = 1.0 / jnp.maximum(
             jnp.mean(jnp.max(jnp.abs(Pb), axis=0)) + 1e-12,
-            jnp.max(jnp.abs(qb)) * 0 + 1e-12,
+            jnp.max(jnp.abs(qb)),
         )
         gamma = jnp.minimum(gamma, 1e8)
         Pb = gamma * Pb
@@ -121,14 +123,25 @@ def _solve_one(qp: QPBatch, cfg: ADMMConfig, x0, y0):
 
     I_n = jnp.eye(n, dtype=dtype)
 
+    # iterative refinement recovers ~double the effective precision of the
+    # f32 Cholesky solve when cond(M) approaches 1/eps_f32 (singular P +
+    # boosted equality rho make that the common case for the MPC QPs)
+    refine = cfg.refine_steps if dtype != jnp.float64 else 0
+
     def run_round(x, z, y, rho, num_iters):
         M = Pb + cfg.sigma * I_n + (Ab.T * rho) @ Ab
         L = jnp.linalg.cholesky(M)
 
+        def msolve(rhs):
+            xt = jsl.cho_solve((L, True), rhs)
+            for _ in range(refine):
+                xt = xt + jsl.cho_solve((L, True), rhs - M @ xt)
+            return xt
+
         def iteration(carry, _):
             x, z, y = carry
             rhs = cfg.sigma * x - qb + Ab.T @ (rho * z - y)
-            xt = jsl.cho_solve((L, True), rhs)
+            xt = msolve(rhs)
             zA = Ab @ xt
             x_new = cfg.alpha * xt + (1 - cfg.alpha) * x
             z_hat = cfg.alpha * zA + (1 - cfg.alpha) * z + y / rho
@@ -166,12 +179,27 @@ def _solve_one(qp: QPBatch, cfg: ADMMConfig, x0, y0):
     y_out = E * y / c
     Ax = qp.A @ x_out
     pri = jnp.max(jnp.abs(Ax - jnp.clip(Ax, qp.lb, qp.ub)))
-    dua = jnp.max(jnp.abs(qp.P @ x_out + qp.q + qp.A.T @ y_out))
-    dua_ref = jnp.maximum(1.0, jnp.max(jnp.abs(qp.q)))
-    eps = cfg.eps_abs * 10 if dtype == jnp.float64 else cfg.eps_abs_f32
+    Px = qp.P @ x_out
+    Aty = qp.A.T @ y_out
+    dua = jnp.max(jnp.abs(Px + qp.q + Aty))
+    # OSQP-style relative tolerances (§3.4): residuals against the scale of
+    # the quantities entering them
+    pri_sc = jnp.maximum(jnp.max(jnp.abs(Ax)), 1.0)
+    dua_sc = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(qp.q))),
+        jnp.maximum(jnp.max(jnp.abs(Aty)), 1.0),
+    )
+    # primal feasibility is the hard requirement (constraint satisfaction);
+    # the dual tail on linear slack costs converges slowly and only affects
+    # optimality, so it gets a looser relative bar
+    if dtype == jnp.float64:
+        eps_pri, eps_dua = cfg.eps_abs * 10, 1e-3
+    else:
+        eps_pri, eps_dua = cfg.eps_abs_f32, 1e-2
     return QPSolution(
         z=x_out, y=y_out, pri_res=pri, dua_res=dua,
-        converged=(pri < eps) & (dua < eps * dua_ref) & jnp.all(jnp.isfinite(x_out)),
+        converged=(pri < eps_pri * pri_sc) & (dua < eps_dua * dua_sc)
+        & jnp.all(jnp.isfinite(x_out)),
     )
 
 

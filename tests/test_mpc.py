@@ -164,3 +164,45 @@ def test_connectivity_impc_cbf_two_agent_swap_no_collision():
     # both made progress toward their goals
     assert float(states.pos[0, 0]) > 0.5
     assert float(states.pos[1, 0]) < -0.5
+
+
+def test_fov_impc_slack_mode():
+    """Slack mode: infeasibly tight CBF constraints become soft; the solve
+    stays feasible with positive slack on the binding neighbor
+    (MPCCBFQPGeneratorBase slack plumbing)."""
+    op = _op()
+    cbf = FovCBF(FOV120, safety_dist=1.0, max_dist=10.0,
+                 vmin=MPC.v_min, vmax=MPC.v_max)
+    impc = IMPCParams(cbf_horizon=2, impc_iter=2, slack_mode=True,
+                      slack_cost=50000.0, slack_decay_rate=0.1)
+    # slack-weighted costs (5e4 linear terms) need a longer dual tail
+    ctrl = FovIMPCCBF(op, cbf, impc, max_neighbors=2,
+                      box_half_extents=[0.05, 0.05, 0.0],
+                      solver=ADMMConfig(iters=1500))
+    assert ctrl.n == 36 + 2
+    # ego flying fast straight at a close neighbor: hard problem is near
+    # infeasible; slack must absorb it
+    current = State(pos=jnp.zeros(3), vel=jnp.array([2.0, 0.0, 0.0]))
+    goal = jnp.array([5.0, 0.0, 0.0])
+    ref = jnp.tile(goal, MPC.k_hor)
+    nbr_xy = jnp.array([[1.2, 0.0], [6.0, 6.0]])
+    covs = jnp.tile(0.01 * jnp.eye(2), (2, 1, 1))
+    blob = FovIMPCCBF.pack_neighbors(nbr_xy, covs)
+    res = ctrl.optimize(current, ref, blob, jnp.array([True, True]))
+    assert bool(res.success)
+    assert np.all(np.isfinite(np.asarray(res.coeffs)))
+
+
+def test_connectivity_cbf_qp_slack_mode():
+    from mpc_cbf_tpu.controllers import ConnectivityCBFController
+    cbf = ConnectivityCBF(1.0, 3.0, jnp.asarray(MPC.v_min), jnp.asarray(MPC.v_max))
+    ctrl = ConnectivityCBFController(cbf, num_robots=3, slack_mode=True,
+                                     solver=ADMMConfig(iters=400))
+    assert ctrl.n == 3 + 3
+    states = jnp.array(
+        [[0.0, 0.0, 0, 2.0, 0, 0], [0.9, 0.0, 0, -2.0, 0, 0], [0.0, 1.2, 0, 0, 0, 0]]
+    )
+    res = ctrl.control(states, jnp.asarray(0), jnp.array([2.0, 0.0, 0.0]))
+    assert bool(jnp.all(jnp.isfinite(res.u)))
+    # the closing pair's slack should be engaged (nonnegative, finite)
+    assert float(jnp.min(res.slack)) >= -1e-6
