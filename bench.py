@@ -34,10 +34,13 @@ def main() -> None:
         BezierParams, MPCParams, BezierMPCOperator, IMPCParams, ConnectivityIMPCCBF,
     )
 
+    from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+    from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
+
     num_agents = 4          # neighbors per QP = 3
     impc = IMPCParams()     # impc_iter = 2 QP solves per control step
     solver_iters = 200      # f32 accuracy floor ~1e-4 (see tests/test_qp.py)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 
     mpc = MPCParams()
     op = BezierMPCOperator(BezierParams(), mpc, dim=3)
@@ -46,24 +49,27 @@ def main() -> None:
         op, cbf, impc, max_neighbors=num_agents - 1,
         solver=ADMMConfig(iters=solver_iters),
     )
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=solver_iters))
 
     rng = np.random.default_rng(0)
-    # batch of random agent snapshots: ego near origin, neighbors on a ring
-    pos = jnp.asarray(rng.normal(0, 2.0, (batch, 3)), jnp.float32)
+    # batch of feasible agent snapshots: ego near origin, neighbors on a
+    # 2.5-4 m ring (outside d_min, mix of in/out of connectivity range)
+    pos = jnp.asarray(rng.normal(0, 0.3, (batch, 3)), jnp.float32)
     vel = jnp.asarray(rng.normal(0, 0.5, (batch, 3)), jnp.float32)
     goals = jnp.asarray(rng.normal(0, 3.0, (batch, 3)), jnp.float32)
-    nbr_pos = jnp.asarray(rng.normal(0, 3.0, (batch, num_agents - 1, 3)), jnp.float32)
-    nbr_vel = jnp.asarray(rng.normal(0, 0.5, (batch, num_agents - 1, 3)), jnp.float32)
-    nbr = jnp.concatenate([nbr_pos, nbr_vel], axis=-1)
+    ang = rng.uniform(0, 2 * np.pi, (batch, num_agents - 1))
+    rad = rng.uniform(2.5, 4.0, (batch, num_agents - 1))
+    nbr_pos = np.stack([rad * np.cos(ang), rad * np.sin(ang),
+                        np.zeros_like(rad)], axis=-1)
+    nbr_vel = rng.normal(0, 0.5, (batch, num_agents - 1, 3))
+    nbr = jnp.asarray(np.concatenate([nbr_pos, nbr_vel], axis=-1), jnp.float32)
+    mask = jnp.ones((batch, num_agents - 1), bool)
 
     @jax.jit
     def control_batch(pos, vel, goals, nbr):
-        def one(p, v, g, nb):
-            ref = jnp.tile(g, mpc.k_hor)
-            res = ctrl.optimize(State(pos=p, vel=v), ref, nb,
-                                jnp.ones(num_agents - 1, bool))
-            return res.coeffs, res.success
-        return jax.vmap(one)(pos, vel, goals, nbr)
+        ref = jnp.tile(goals[:, None, :], (1, mpc.k_hor, 1)).reshape(batch, -1)
+        res = simpc.optimize_batch(State(pos=pos, vel=vel), ref, nbr, mask)
+        return res.coeffs, res.success
 
     def run_once():
         out = control_batch(pos, vel, goals, nbr)

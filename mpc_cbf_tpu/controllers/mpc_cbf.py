@@ -211,6 +211,71 @@ class _IMPCCBFBase:
             ub=jnp.concatenate([b[2] for b in blocks], axis=-1),
         )
 
+    # -- structured assembly -------------------------------------------------
+    def static_parts(self):
+        """(P [n,n], A_s [m_s,n], eq_mask [m_s]) — the blocks shared by every
+        agent in a batch (coefficients only; targets are per-agent).
+
+        Shared rows: init pos/vel eval (eq), continuity (eq), sampled
+        accel/vel bounds, slack nonnegativity.
+        """
+        op, S, n = self.op, self.S, self.n
+        P = np.zeros((n, n))
+        P[: op.n_dec, : op.n_dec] = op.P_static
+        rows = [
+            np.concatenate([op.init_pos_rows, op.init_vel_rows, self._cont_rows]),
+            np.concatenate([op.acc_rows, op.vel_rows]),
+        ]
+        eq_m = [np.ones(rows[0].shape[0], bool), np.zeros(rows[1].shape[0], bool)]
+        A_s = np.concatenate(rows)
+        A_s = np.concatenate([A_s, np.zeros((A_s.shape[0], S))], axis=1)
+        if S:
+            slack_rows = np.concatenate([np.zeros((S, op.n_dec)), np.eye(S)], axis=1)
+            A_s = np.concatenate([A_s, slack_rows])
+            eq_m.append(np.zeros(S, bool))
+        return P, A_s, np.concatenate(eq_m)
+
+    def shared_bounds(self, current: State):
+        """(lb_s, ub_s) [m_s] for one agent (targets of the shared rows)."""
+        op, S = self.op, self.S
+        dt = current.pos.dtype
+        t_eq = jnp.concatenate(
+            [current.pos, current.vel, jnp.zeros(self._cont_rows.shape[0], dt)]
+        )
+        _, lb_bd, ub_bd = op.bound_rows(dt)
+        lb = jnp.concatenate([t_eq, lb_bd])
+        ub = jnp.concatenate([t_eq, ub_bd])
+        if S:
+            lb = jnp.concatenate([lb, jnp.zeros(S, dt)])
+            ub = jnp.concatenate([ub, jnp.full(S, BIG, dt)])
+        return lb, ub
+
+    def dynamic_rows(self, current: State, neighbor_blob: Array, neighbor_mask: Array,
+                     pred_states: Array, active_k: Array):
+        """(A_d [m_d, n], lb_d, ub_d) for one agent: CBF rows (+ variant
+        extras such as Voronoi), slack columns included."""
+        dt = current.pos.dtype
+        A_cbf, ub_cbf, slack_idx, cbf_mask = self._cbf_block(
+            pred_states, neighbor_blob, neighbor_mask, active_k
+        )
+        A = self._widen(A_cbf, slack_idx, cbf_mask)
+        lb = jnp.full(self.m_cbf, -BIG, dt)
+        ub = ub_cbf
+        extra = self._extra_rows(current, neighbor_blob, neighbor_mask)
+        if extra:
+            for (Ae, lbe, ube) in extra:
+                A = jnp.concatenate([A, Ae], axis=0)
+                lb = jnp.concatenate([lb, lbe])
+                ub = jnp.concatenate([ub, ube])
+        return A, lb, ub
+
+    @property
+    def m_dynamic(self) -> int:
+        m = self.m_cbf
+        if isinstance(self, FovIMPCCBF):
+            m += self.N * self.op.bezier.num_control_points
+        return m
+
     # -- the IMPC loop -------------------------------------------------------
     def optimize(self, current: State, ref_positions: Array, neighbor_blob: Array,
                  neighbor_mask: Array, warm: Optional[Array] = None) -> IMPCResult:
@@ -331,3 +396,79 @@ class ConnectivityIMPCCBF(_IMPCCBFBase):
 
     def _neighbor_distance(self, current_pos, nbr):
         return jnp.linalg.norm(nbr[:2] - current_pos[:2])
+
+
+class StructuredIMPC:
+    """Batched IMPC-CBF driver over the structure-exploiting solver.
+
+    Wraps a FovIMPCCBF / ConnectivityIMPCCBF and runs the whole agent (x
+    scenario) batch through one StructuredQPOperator solve per IMPC
+    iteration: the shared equality/bound blocks become batch-wide MXU
+    matmuls instead of per-agent GEMVs (see ops/qp/structured.py).
+    """
+
+    def __init__(self, ctrl: _IMPCCBFBase, cfg=None):
+        from mpc_cbf_tpu.ops.qp.structured import StructuredConfig, StructuredQPOperator
+
+        self.ctrl = ctrl
+        self.cfg = cfg if cfg is not None else StructuredConfig(iters=ctrl.solver.iters)
+        P, A_s, eq_mask = ctrl.static_parts()
+        q_hint = ctrl.impc.slack_cost if ctrl.impc.slack_mode else 0.0
+        self.op_qp = StructuredQPOperator(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg,
+                                          q_scale_hint=q_hint)
+
+    def optimize_batch(self, current: State, ref_positions: Array,
+                       neighbor_blob: Array, neighbor_mask: Array,
+                       warm: Optional[Array] = None) -> IMPCResult:
+        """Batched IMPC: current [B, ...] State, ref [B, dim*K],
+        neighbor_blob [B, N, ...], neighbor_mask [B, N]."""
+        ctrl, op = self.ctrl, self.ctrl.op
+        H = ctrl.impc.cbf_horizon
+        dt = current.pos.dtype
+        B = ref_positions.shape[0]
+        pos_E = jnp.asarray(op.pw.eval_matrix(list(np.asarray(op.h_samples[:H])), 0), dt)
+        vel_E = jnp.asarray(op.pw.eval_matrix(list(np.asarray(op.h_samples[:H])), 1), dt)
+
+        q_dec = jax.vmap(op.linear_cost)(current.stacked, ref_positions)  # [B, n_dec]
+        q = jnp.zeros((B, ctrl.n), dt).at[:, : op.n_dec].set(q_dec)
+        if ctrl.S:
+            def slack_w(cur_pos, blob, mask):
+                d = jax.vmap(lambda nb: ctrl._neighbor_distance(cur_pos, nb))(blob)
+                d = jnp.where(mask, d, jnp.inf)
+                return _rank_weights(d, ctrl.impc.slack_cost, ctrl.impc.slack_decay_rate)
+            q = q.at[:, op.n_dec:].set(
+                jax.vmap(slack_w)(current.pos, neighbor_blob, neighbor_mask))
+
+        lb_s, ub_s = jax.vmap(ctrl.shared_bounds)(current)
+
+        x_now = current.stacked                                  # [B, 2*dim]
+        pred0 = jnp.broadcast_to(x_now[:, None, :], (B, H, x_now.shape[-1]))
+        active0 = jnp.arange(H) == 0
+
+        coeffs = jnp.zeros((B, op.n_dec), dt)
+        x0 = warm if warm is not None else jnp.zeros((B, ctrl.n), dt)
+        success = jnp.ones(B, bool)
+        worst = jnp.zeros(B, dt)
+        iterates = []
+
+        for it in range(ctrl.impc.impc_iter):
+            if it == 0:
+                pred, active = pred0, active0
+            else:
+                pos = (coeffs @ pos_E.T).reshape(B, H, op.dim)
+                vel = (coeffs @ vel_E.T).reshape(B, H, op.dim)
+                pred = jnp.concatenate([pos, vel], axis=-1)
+                active = jnp.ones(H, bool)
+            A_d, lb_d, ub_d = jax.vmap(
+                lambda cur_p, cur_v, blob, mask, pr: ctrl.dynamic_rows(
+                    State(pos=cur_p, vel=cur_v), blob, mask, pr, active)
+            )(current.pos, current.vel, neighbor_blob, neighbor_mask, pred)
+            sol = self.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
+            coeffs = sol.z[:, : op.n_dec]
+            x0 = sol.z
+            success = success & sol.converged
+            worst = jnp.maximum(worst, sol.pri_res)
+            iterates.append(coeffs)
+
+        return IMPCResult(coeffs=coeffs, success=success, pri_res=worst,
+                          iterates=jnp.stack(iterates, axis=0))

@@ -1,0 +1,121 @@
+"""Structured (shared-block Woodbury) solver vs the dense reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_cbf_tpu.types import State
+from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
+from mpc_cbf_tpu.ops.qp import ADMMConfig
+from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+from mpc_cbf_tpu.controllers import (
+    BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
+    ConnectivityIMPCCBF, FovIMPCCBF,
+)
+from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
+
+MPC = MPCParams()
+FOV120 = 2.0943951023931953
+
+
+def _batch_inputs(B, N, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.normal(0, 2.0, (B, 3)))
+    vel = jnp.asarray(rng.normal(0, 0.5, (B, 3)))
+    goals = jnp.asarray(rng.normal(0, 3.0, (B, 3)))
+    ref = jnp.tile(goals[:, None, :], (1, MPC.k_hor, 1)).reshape(B, -1)
+    nbr_pos = jnp.asarray(rng.normal(0, 3.0, (B, N, 3)))
+    nbr_vel = jnp.asarray(rng.normal(0, 0.5, (B, N, 3)))
+    blob = jnp.concatenate([nbr_pos, nbr_vel], axis=-1)
+    return State(pos=pos, vel=vel), ref, blob
+
+
+def test_structured_matches_dense_connectivity():
+    B, N = 8, 3
+    op = BezierMPCOperator(BezierParams(), MPC, dim=3)
+    cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(MPC.v_min), jnp.asarray(MPC.v_max))
+    ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), N, solver=ADMMConfig(iters=600))
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=1500))
+
+    current, ref, blob = _batch_inputs(B, N)
+    mask = jnp.ones((B, N), bool)
+
+    res_s = simpc.optimize_batch(current, ref, blob, mask)
+    res_d = jax.vmap(
+        lambda p, v, r, nb, mk: ctrl.optimize(State(pos=p, vel=v), r, nb, mk)
+    )(current.pos, current.vel, ref, blob, mask)
+
+    assert res_s.coeffs.shape == (B, 36)
+    err = np.max(np.abs(np.asarray(res_s.coeffs) - np.asarray(res_d.coeffs)))
+    assert err < 2e-3, f"structured vs dense deviation {err}"
+
+
+def test_structured_matches_dense_fov_with_slack():
+    B, N = 6, 2
+    op = BezierMPCOperator(BezierParams(), MPC, dim=3)
+    cbf = FovCBF(FOV120, 1.0, 8.0, MPC.v_min, MPC.v_max)
+    # impc_iter=1: with 2 iterations, iter-1 solver tolerance perturbs the
+    # predicted states that *define* iter-2's CBF rows, so exact parity only
+    # holds for a single iteration (same phenomenon as reference CPLEX vs
+    # any other exact solver)
+    impc = IMPCParams(slack_mode=True, impc_iter=1)
+    ctrl = FovIMPCCBF(op, cbf, impc, N, box_half_extents=[0.1, 0.1, 0.0],
+                      solver=ADMMConfig(iters=2000))
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=3000))
+
+    rng = np.random.default_rng(1)
+    # feasible geometry: ego near origin, neighbors on a 2.5-4 m ring
+    # (inside range Rs=8, outside safety Ds=1) — random overlapping robots
+    # make the hard FoV + Voronoi rows infeasible and the parity test moot
+    pos = jnp.asarray(rng.normal(0, 0.2, (B, 3)))
+    vel = jnp.asarray(rng.normal(0, 0.3, (B, 3)))
+    goals = jnp.asarray(rng.normal(0, 3.0, (B, 3)))
+    ref = jnp.tile(goals[:, None, :], (1, MPC.k_hor, 1)).reshape(B, -1)
+    ang = rng.uniform(0, 2 * np.pi, (B, N))
+    rad = rng.uniform(2.5, 4.0, (B, N))
+    nbr_xy = jnp.asarray(np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1))
+    covs = jnp.tile(0.01 * jnp.eye(2), (B, N, 1, 1))
+    blob = jax.vmap(FovIMPCCBF.pack_neighbors)(nbr_xy, covs)
+    mask = jnp.ones((B, N), bool)
+    current = State(pos=pos, vel=vel)
+
+    res_s = simpc.optimize_batch(current, ref, blob, mask)
+    res_d = jax.vmap(
+        lambda p, v, r, nb, mk: ctrl.optimize(State(pos=p, vel=v), r, nb, mk)
+    )(current.pos, current.vel, ref, blob, mask)
+
+    assert res_s.coeffs.shape == (B, 36)
+    assert bool(res_s.success.all())
+    # The slack directions have zero curvature (pure linear cost), so the
+    # optimum is not unique — compare objective values, not coordinates.
+    def objective(b, z36):
+        x = jnp.concatenate([current.pos[b], current.vel[b]])
+        qp = ctrl.assemble(State(pos=current.pos[b], vel=current.vel[b]),
+                           ref[b], blob[b], mask[b],
+                           jnp.broadcast_to(x, (2, 6)), jnp.arange(2) == 0)
+        # recover full z (incl. slack) by resolving: use only coeffs part of
+        # the quadratic; compare the curve-cost part which IS strongly convex
+        return 0.5 * z36 @ qp.P[:36, :36] @ z36 + qp.q[:36] @ z36
+
+    for b in range(B):
+        o_s = float(objective(b, res_s.coeffs[b]))
+        o_d = float(objective(b, res_d.coeffs[b]))
+        scale = max(1.0, abs(o_d))
+        # structured must be at least as good as the dense reference (the
+        # dense solver does not converge on every one of these instances)
+        assert o_s <= o_d + 5e-2 * scale, (b, o_s, o_d)
+
+
+def test_structured_warm_start_consistency():
+    B, N = 4, 2
+    op = BezierMPCOperator(BezierParams(), MPC, dim=3)
+    cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(MPC.v_min), jnp.asarray(MPC.v_max))
+    ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), N)
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=800))
+    current, ref, blob = _batch_inputs(B, N, seed=2)
+    mask = jnp.ones((B, N), bool)
+    res1 = simpc.optimize_batch(current, ref, blob, mask)
+    # warm start from the solution: must stay at the solution
+    warm = jnp.zeros((B, ctrl.n)).at[:, :36].set(res1.coeffs)
+    res2 = simpc.optimize_batch(current, ref, blob, mask, warm=warm)
+    err = np.max(np.abs(np.asarray(res1.coeffs) - np.asarray(res2.coeffs)))
+    assert err < 5e-3
