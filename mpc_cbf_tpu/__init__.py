@@ -31,4 +31,22 @@ L7     experiments harness             utils/metrics.py, bench.py
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# f32 matmuls at JAX's 'default' precision run as multi-pass bf16 on TPU
+# (and this image's CPU GEMM matches that: rel err ~2.5e-3) — enough to
+# corrupt QP cost vectors by ~0.3% and stall the ADMM solver, while the
+# *unbatched* GEMV path stays full-f32, so the bug only appears under
+# vmap. A control stack needs real f32 linear algebra, so the package
+# defaults matmul precision to 'highest' (float32 accumulation). The
+# solver hot loops additionally pin their own precision locally, so they
+# stay correct even if an embedding application overrides this global.
+# Override with MPC_CBF_TPU_MATMUL_PRECISION=default|high|highest.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("MPC_CBF_TPU_MATMUL_PRECISION", "highest"),
+)
+
 from mpc_cbf_tpu import models, ops, controllers, parallel, utils  # noqa: F401

@@ -12,4 +12,6 @@ from mpc_cbf_tpu.controllers.mpc_cbf import (  # noqa: F401
     IMPCParams,
     FovIMPCCBF,
     ConnectivityIMPCCBF,
+    BezierMPCCBF,
+    StructuredIMPC,
 )

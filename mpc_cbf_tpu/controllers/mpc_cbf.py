@@ -269,12 +269,12 @@ class _IMPCCBFBase:
                 ub = jnp.concatenate([ub, ube])
         return A, lb, ub
 
+    #: extra dynamic rows beyond the CBF block (e.g. Voronoi); set by variants
+    m_extra: int = 0
+
     @property
     def m_dynamic(self) -> int:
-        m = self.m_cbf
-        if isinstance(self, FovIMPCCBF):
-            m += self.N * self.op.bezier.num_control_points
-        return m
+        return self.m_cbf + self.m_extra
 
     # -- the IMPC loop -------------------------------------------------------
     def optimize(self, current: State, ref_positions: Array, neighbor_blob: Array,
@@ -338,6 +338,7 @@ class FovIMPCCBF(_IMPCCBFBase):
                  solver: ADMMConfig = ADMMConfig(iters=150)):
         super().__init__(op, impc, max_neighbors, solver)
         self.cbf = cbf
+        self.m_extra = max_neighbors * op.bezier.num_control_points
         self.box = jnp.asarray(
             box_half_extents if box_half_extents is not None else np.zeros(op.dim)
         )
@@ -371,6 +372,50 @@ class FovIMPCCBF(_IMPCCBFBase):
             current.pos, other_pos, neighbor_mask, self.box.astype(neighbor_blob.dtype)
         )
         return [(self._widen(A_v), lb_v, ub_v)]
+
+
+class BezierMPCCBF(FovIMPCCBF):
+    """Non-iterative single-shot MPC-CBF (reference
+    ``mpc_cbf/src/controller/BezierMPCCBF.cpp:32-85``): one QP with the
+    3 FoV CBF families (safety, fov-lb, fov-rb — no range row, :61-67)
+    evaluated at the *current* state and applied at horizon step 0. No
+    slack variables, no Voronoi rows (the reference stores a collision
+    shape but never adds hyperplane constraints in optimize()).
+
+    neighbor_blob per neighbor: [2] = target x, y.
+    """
+
+    num_families = 3
+    continuity_inclusive = False
+
+    def __init__(self, op: BezierMPCOperator, cbf: FovCBF, max_neighbors: int,
+                 solver: ADMMConfig = ADMMConfig(iters=150)):
+        impc = IMPCParams(cbf_horizon=1, impc_iter=1, slack_mode=False)
+        super().__init__(op, cbf, impc, max_neighbors, solver=solver)
+        self.m_extra = 0  # no Voronoi rows in the single-shot variant
+
+    def _cbf_rows_at(self, x, nbr):
+        t_xy = nbr[:2]
+        a_s, b_s = self.cbf.safety_row(x, t_xy)
+        a_l, b_l = self.cbf.lb_row(x, t_xy)
+        a_r, b_r = self.cbf.rb_row(x, t_xy)
+        return jnp.stack([a_s, a_l, a_r]), jnp.stack([b_s, b_l, b_r])
+
+    def _neighbor_distance(self, current_pos, nbr):
+        return jnp.linalg.norm(nbr[:2] - current_pos[:2])
+
+    def _extra_rows(self, current, neighbor_blob, neighbor_mask):
+        return None
+
+    def derivative_control_inputs(self, coeffs: Array, derivative_degree: int) -> Array:
+        """Sampled derivative at the Ts grid: U_basis(ts) @ coeffs
+        (BezierMPCCBF.cpp:88-99). Returns [len(ts_samples)*dim]."""
+        op = self.op
+        E = jnp.asarray(
+            op.pw.eval_matrix(list(np.asarray(op.ts_samples)), derivative_degree),
+            coeffs.dtype,
+        )
+        return E @ coeffs
 
 
 class ConnectivityIMPCCBF(_IMPCCBFBase):

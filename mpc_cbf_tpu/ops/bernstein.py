@@ -253,6 +253,24 @@ class PiecewiseBezier:
         return out
 
 
+def max_derivative_magnitude(
+    piecewise: PiecewiseBezier, coeffs, derivative_degree: int, step: float = 0.01
+):
+    """max_t ||f^(r)(t)|| over a ``step``-spaced scan of the full parameter
+    range, matching Bezier::maximumDerivativeMagnitude
+    (splines/src/curves/Bezier.cpp:79-97).
+
+    coeffs: [..., n_dec]. The scan grid is static, so this is one matmul +
+    a norm-reduce — MXU-friendly despite the reference's scalar loop.
+    """
+    import jax.numpy as jnp
+
+    ts = np.arange(0.0, piecewise.max_parameter + step / 2, step)
+    ts[-1] = min(ts[-1], piecewise.max_parameter)
+    samples = eval_curve(piecewise, coeffs, list(ts), derivative_degree)
+    return jnp.max(jnp.linalg.norm(samples, axis=-1), axis=-1)
+
+
 def eval_curve(piecewise: PiecewiseBezier, coeffs, ts, derivative_degree: int = 0):
     """Evaluate a solved piecewise curve at static times ts.
 

@@ -118,6 +118,14 @@ class StructuredQPOperator:
 
         Returns primal solutions in the ORIGINAL (unscaled) coordinates.
         """
+        with jax.default_matmul_precision("highest"):
+            return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0)
+
+    def _solve(self, q: Array, lb_s: Array, ub_s: Array,
+               A_d: Array, lb_d: Array, ub_d: Array,
+               x0: Optional[Array] = None) -> StructuredSolution:
+        # full-f32 matmuls: at 'default' precision these batched GEMMs run
+        # as multi-pass bf16 on the MXU, which corrupts the Woodbury solve
         cfg = self.cfg
         B, n = q.shape
         dt = q.dtype

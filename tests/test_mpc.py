@@ -175,10 +175,11 @@ def test_fov_impc_slack_mode():
                  vmin=MPC.v_min, vmax=MPC.v_max)
     impc = IMPCParams(cbf_horizon=2, impc_iter=2, slack_mode=True,
                       slack_cost=50000.0, slack_decay_rate=0.1)
-    # slack-weighted costs (5e4 linear terms) need a longer dual tail
+    # slack-weighted costs (5e4 linear terms) need a longer dual tail, and
+    # the per-row primal bar (1e-5 absolute in f64) another 2x on top
     ctrl = FovIMPCCBF(op, cbf, impc, max_neighbors=2,
                       box_half_extents=[0.05, 0.05, 0.0],
-                      solver=ADMMConfig(iters=1500))
+                      solver=ADMMConfig(iters=3000))
     assert ctrl.n == 36 + 2
     # ego flying fast straight at a close neighbor: hard problem is near
     # infeasible; slack must absorb it
