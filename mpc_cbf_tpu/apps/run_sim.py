@@ -24,40 +24,83 @@ import jax
 import jax.numpy as jnp
 
 
-def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int):
-    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
+CONTROLLERS = (
+    "connectivity",       # ConnectivityIMPCCBF  (MPCCBFFormationControl_example)
+    "fov",                # FovIMPCCBF           (BezierIMPCCBFPFXYYaw_example)
+    "single-shot",        # BezierMPCCBF         (BezierMPCCBFXYYaw_example)
+    "mpc",                # BezierMPC, no CBF    (BezierMPCXYYaw_example)
+    "cbf-connectivity",   # ConnectivityControl  (CBFFormationControl_example)
+    "cbf-fov",            # FovControl           (CBFControl_example, --pf for
+                          #                       the particle-filter estimator)
+)
+
+
+def _fov_cbf(cfg: dict, mpc):
+    from mpc_cbf_tpu.ops.cbf import FovCBF
+
+    f = cfg.get("fov_cbf_params", {})
+    beta = float(f.get("beta", 120.0)) * np.pi / 180.0
+    return FovCBF(beta, float(f.get("Ds", 0.3)), float(f.get("Rs", 4.0)),
+                  jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+
+
+def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
+              use_pf: bool = False):
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
     from mpc_cbf_tpu.ops.qp import ADMMConfig
     from mpc_cbf_tpu.controllers import (
-        BezierMPCOperator, ConnectivityIMPCCBF, FovIMPCCBF,
+        BezierMPC, BezierMPCOperator, BezierMPCCBF,
+        ConnectivityIMPCCBF, FovIMPCCBF,
+        FovCBFController, ConnectivityCBFController,
     )
-    from mpc_cbf_tpu.parallel import MultiAgentSim
+    from mpc_cbf_tpu.parallel import MultiAgentSim, BezierMPCSim, CBFOnlySim
     from mpc_cbf_tpu.utils import config as cfgmod
 
     bez = cfgmod.parse_bezier_params(cfg)
     mpc = cfgmod.parse_mpc_params(cfg)
     impc = cfgmod.parse_impc_params(cfg)
     pos_std, vel_std = cfgmod.parse_noise(cfg)
-    op = BezierMPCOperator(bez, mpc, dim=3)
     solver = ADMMConfig(iters=solver_iters)
+    shape, _ = cfgmod.parse_collision_shape(cfg)
+    half = np.asarray(shape, dtype=float) / 2.0 if np.ndim(shape) else np.zeros(3)
 
-    if controller == "connectivity":
+    if controller in ("connectivity", "fov", "single-shot", "mpc"):
+        op = BezierMPCOperator(bez, mpc, dim=3)
+        if controller == "connectivity":
+            d_min, d_max = cfgmod.parse_cbf_distances(cfg)
+            cbf = ConnectivityCBF(d_min, d_max, jnp.asarray(mpc.v_min),
+                                  jnp.asarray(mpc.v_max))
+            ctrl = ConnectivityIMPCCBF(op, cbf, impc, num_robots - 1, solver=solver)
+        elif controller == "fov":
+            ctrl = FovIMPCCBF(op, _fov_cbf(cfg, mpc), impc, num_robots - 1,
+                              box_half_extents=half, solver=solver)
+        elif controller == "single-shot":
+            ctrl = BezierMPCCBF(op, _fov_cbf(cfg, mpc), num_robots - 1,
+                                solver=solver)
+        else:  # mpc
+            ctrl = BezierMPC(op, num_robots - 1, box_half_extents=half,
+                             solver=solver)
+            return BezierMPCSim(ctrl, num_robots, noise_pos_std=pos_std,
+                                noise_vel_std=vel_std), mpc
+        return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
+                             noise_vel_std=vel_std), mpc
+
+    # single-step controllers read the same slack knobs as the reference
+    # examples (CBFFormationControl_example.cpp:94-96,165)
+    slack = dict(slack_mode=impc.slack_mode, slack_cost=impc.slack_cost,
+                 slack_decay_rate=impc.slack_decay_rate)
+    if controller == "cbf-fov":
+        ctrl = FovCBFController(_fov_cbf(cfg, mpc), num_robots - 1,
+                                u_min=mpc.a_min, u_max=mpc.a_max,
+                                solver=solver, **slack)
+        return CBFOnlySim(ctrl, num_robots, dt=mpc.h, use_pf=use_pf), mpc
+    if controller == "cbf-connectivity":
         d_min, d_max = cfgmod.parse_cbf_distances(cfg)
-        cbf = ConnectivityCBF(d_min, d_max, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
-        ctrl = ConnectivityIMPCCBF(op, cbf, impc, num_robots - 1, solver=solver)
-    elif controller == "fov":
-        f = cfg.get("fov_cbf_params", {})
-        beta = float(f.get("beta", 120.0)) * np.pi / 180.0
-        cbf = FovCBF(beta, float(f.get("Ds", 0.3)), float(f.get("Rs", 4.0)),
-                     jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
-        shape, _ = cfgmod.parse_collision_shape(cfg)
-        half = np.asarray(shape, dtype=float) / 2.0 if np.ndim(shape) else np.zeros(3)
-        ctrl = FovIMPCCBF(op, cbf, impc, num_robots - 1,
-                          box_half_extents=half, solver=solver)
-    else:
-        raise ValueError(f"unknown controller {controller!r} (connectivity|fov)")
-
-    return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
-                         noise_vel_std=vel_std), mpc
+        cbf = ConnectivityCBF(d_min, d_max, jnp.asarray(mpc.v_min),
+                              jnp.asarray(mpc.v_max))
+        ctrl = ConnectivityCBFController(cbf, num_robots, solver=solver, **slack)
+        return CBFOnlySim(ctrl, num_robots, dt=mpc.h), mpc
+    raise ValueError(f"unknown controller {controller!r} ({'|'.join(CONTROLLERS)})")
 
 
 def main(argv=None) -> int:
@@ -68,7 +111,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--base", required=True)
     p.add_argument("--task", required=True)
-    p.add_argument("--controller", default="connectivity", choices=["connectivity", "fov"])
+    p.add_argument("--controller", default="connectivity", choices=list(CONTROLLERS))
+    p.add_argument("--pf", action="store_true",
+                   help="cbf-fov only: estimate neighbors with per-pair "
+                        "particle filters (FOV negative-information update)")
     p.add_argument("--sim-runtime", type=float, default=6.0)
     p.add_argument("--solver-iters", type=int, default=200)
     p.add_argument("--out", default="states.json")
@@ -86,7 +132,7 @@ def main(argv=None) -> int:
     cfg = cfgmod.load_config(args.base, args.task)
     so, sf = cfgmod.parse_tasks(cfg)
     R = so.shape[0]
-    sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters)
+    sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters, use_pf=args.pf)
 
     steps = int(round(args.sim_runtime / mpc.h))
     init = State(pos=jnp.asarray(so, jnp.float32), vel=jnp.zeros((R, 3), jnp.float32))

@@ -9,4 +9,7 @@ from mpc_cbf_tpu.parallel.sim import (  # noqa: F401
     MultiAgentSim,
     SimResult,
     sharded_rollout,
+    CBFOnlySim,
+    CBFSimResult,
+    BezierMPCSim,
 )

@@ -159,3 +159,267 @@ def sharded_rollout(sim: MultiAgentSim, mesh: Mesh, init: State, goals: Array,
         return jax.vmap(lambda i, g, k: sim.rollout(i, g, num_steps, k))(init, goals, keys)
 
     return run(init, goals, keys)
+
+
+# ---------------------------------------------------------------------------
+# CBF-only closed loop (reference cbf/examples)
+# ---------------------------------------------------------------------------
+
+
+class CBFSimResult(NamedTuple):
+    states: State      # final [.., A, dim]
+    traj_pos: Array    # [.., T, A, dim]
+    traj_vel: Array
+    u: Array           # [.., T, A, 3] applied controls
+    success: Array     # [.., T, A]
+    est_mean: Array    # [.., T, A, N, 2] neighbor estimates (PF mode) or true xy
+    est_cov: Array     # [.., T, A, N, 2, 2]
+
+
+@dataclasses.dataclass(frozen=True)
+class CBFOnlySim:
+    """Closed loop of a single-step CBF-QP controller over A agents.
+
+    Reference parity: the sim mains
+    ``cbf/examples/connectivity/CBFFormationControl_example.cpp:18-160``
+    (PID nominal -> ConnectivityControl QP -> applyInput) and
+    ``cbf/examples/fov/CBFControl_example.cpp:145-230`` (per-neighbor
+    particle filter with FOV negative-information update feeding
+    FovControl). The per-robot loop is vmapped; the sim loop is a scan.
+
+    controller: FovCBFController (per-neighbor xy+cov estimates) or
+    ConnectivityCBFController (full team states). With ``use_pf`` (FoV
+    only), per-(agent, neighbor) particle filters produce the estimates
+    (PFApplications::processFovUpdate semantics); otherwise true neighbor
+    positions with a fixed diagonal covariance are fed in, matching the
+    fixed-estimate examples.
+    """
+
+    controller: object
+    num_agents: int
+    dt: float = 0.1                    # sim step (examples run at ts=0.1)
+    spring_constant: float = 2.0       # nominal u = spring(goal) (Controls.h:17-27)
+    fov_cov_diag: float = 0.04
+    use_pf: bool = False
+    pf_params: "PFParams | None" = None
+    pf_process_std: float = 0.1
+    pf_meas_std: float = 0.05
+
+    def __post_init__(self):
+        from mpc_cbf_tpu.models.double_integrator import DoubleIntegrator
+        object.__setattr__(self, "_model", DoubleIntegrator(dim=3, ts=self.dt))
+
+    @property
+    def _is_fov(self) -> bool:
+        from mpc_cbf_tpu.controllers.cbf_qp import FovCBFController
+        return isinstance(self.controller, FovCBFController)
+
+    def _nominal(self, states: State, goals: Array) -> Array:
+        from mpc_cbf_tpu.ops.controls import critically_damped_spring_control
+        return critically_damped_spring_control(states, goals, self.spring_constant)
+
+    def control_step(self, states: State, goals: Array,
+                     est_xy: Optional[Array] = None,
+                     est_cov: Optional[Array] = None):
+        """One CBF-QP step for all agents. est_xy/[A,N,2], est_cov [A,N,2,2]
+        (FoV mode; defaults to true positions + fixed covariance).
+        Returns (u [A,3], converged [A])."""
+        ctrl, A = self.controller, self.num_agents
+        u_des = self._nominal(states, goals)
+        allx = jnp.concatenate([states.pos, states.vel], axis=-1)
+
+        if self._is_fov:
+            if est_xy is None:
+                def blob(i):
+                    others = jnp.delete(jnp.arange(A), i, assume_unique_indices=True)
+                    return states.pos[others][:, :2]
+                est_xy = jax.vmap(blob)(jnp.arange(A))
+            if est_cov is None:
+                est_cov = jnp.broadcast_to(
+                    self.fov_cov_diag * jnp.eye(2, dtype=states.pos.dtype),
+                    (A, A - 1, 2, 2),
+                )
+
+            def one(i, xy_i, cov_i):
+                res = ctrl.control(allx[i], u_des[i], xy_i, cov_i,
+                                   jnp.ones(A - 1, bool))
+                return res.u, res.converged
+
+            u, conv = jax.vmap(one)(jnp.arange(A), est_xy, est_cov)
+        else:
+            def one(i):
+                res = ctrl.control(allx, i, u_des[i])
+                return res.u, res.converged
+
+            u, conv = jax.vmap(one)(jnp.arange(A))
+        return u, conv
+
+    def fly(self, states: State, u: Array, success: Array, key: Array,
+            noise_pos_std: float = 0.0, noise_vel_std: float = 0.0) -> State:
+        """Apply u through the double integrator; failed agents brake to
+        zero velocity and hold (CBFFormationControl_example failure path)."""
+        u = jnp.where(success[:, None], u, 0.0)
+        nxt = self._model.step(states, u)
+        nxt = State(pos=nxt.pos,
+                    vel=jnp.where(success[:, None], nxt.vel, 0.0))
+        if noise_pos_std > 0 or noise_vel_std > 0:
+            nxt = add_random_noise(key, nxt, noise_pos_std, noise_vel_std)
+        return nxt
+
+    # -- PF estimator tick --------------------------------------------------
+    def _pf_consts(self, dtype):
+        from mpc_cbf_tpu.estimation.particle_filter import PFParams
+        p = self.pf_params if self.pf_params is not None else PFParams(dt=self.dt)
+        proc = self.pf_process_std * jnp.eye(2, dtype=dtype)
+        meas = self.pf_meas_std**2 * jnp.eye(2, dtype=dtype)
+        return p, proc, meas
+
+    def pf_init_all(self, key: Array, states: State):
+        """Per-(agent, neighbor) PF bank seeded at the true neighbor xy
+        (filter_node.cpp:29-124 seeds at first estimate)."""
+        from mpc_cbf_tpu.estimation.particle_filter import pf_init
+        A = self.num_agents
+        p, _, _ = self._pf_consts(states.pos.dtype)
+        init_cov = 0.25 * jnp.eye(2, dtype=states.pos.dtype)
+
+        def one(i, key_i):
+            others = jnp.delete(jnp.arange(A), i, assume_unique_indices=True)
+            keys = jax.random.split(key_i, A - 1)
+            return jax.vmap(
+                lambda k, x0: pf_init(k, x0, init_cov, p)
+            )(keys, states.pos[others][:, :2])
+
+        return jax.vmap(one)(jnp.arange(A), jax.random.split(key, A))
+
+    def pf_step_all(self, key: Array, pf_bank, states: State):
+        """One estimator tick for the whole bank; returns
+        (new_bank, est_xy [A,N,2], est_cov [A,N,2,2])."""
+        from mpc_cbf_tpu.estimation.particle_filter import process_fov_update
+        A = self.num_agents
+        p, proc, meas = self._pf_consts(states.pos.dtype)
+        fov = self.controller.cbf.fov
+        rs = self.controller.cbf.Rs
+
+        def one(i, key_i, pf_i):
+            others = jnp.delete(jnp.arange(A), i, assume_unique_indices=True)
+            keys = jax.random.split(key_i, A - 1)
+            return jax.vmap(
+                lambda k, st_pf, nbr: process_fov_update(
+                    k, st_pf, states.pos[i], nbr, proc, meas, fov, rs, p)
+            )(keys, pf_i, states.pos[others][:, :2])
+
+        new_bank, mean, cov = jax.vmap(one)(
+            jnp.arange(A), jax.random.split(key, A), pf_bank)
+        return new_bank, mean, cov
+
+    @partial(jax.jit, static_argnames=("self", "num_steps"))
+    def rollout(self, init: State, goals: Array, num_steps: int,
+                key: Optional[Array] = None) -> CBFSimResult:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        A = self.num_agents
+        pf0 = None
+        if self.use_pf:
+            if not self._is_fov:
+                raise ValueError("use_pf requires a FovCBFController")
+            key, sub = jax.random.split(key)
+            pf0 = self.pf_init_all(sub, init)
+
+        def step(carry, k):
+            states, pf = carry
+            if self.use_pf:
+                k_pf, k_fly = jax.random.split(k)
+                pf, est_xy, est_cov = self.pf_step_all(k_pf, pf, states)
+                u, conv = self.control_step(states, goals, est_xy, est_cov)
+            else:
+                k_fly = k
+                u, conv = self.control_step(states, goals)
+                if self._is_fov:
+                    def blob(i):
+                        others = jnp.delete(jnp.arange(A), i,
+                                            assume_unique_indices=True)
+                        return states.pos[others][:, :2]
+                    est_xy = jax.vmap(blob)(jnp.arange(A))
+                    est_cov = jnp.broadcast_to(
+                        self.fov_cov_diag * jnp.eye(2, dtype=states.pos.dtype),
+                        (A, A - 1, 2, 2))
+                else:
+                    est_xy = jnp.zeros((A, A - 1, 2), states.pos.dtype)
+                    est_cov = jnp.zeros((A, A - 1, 2, 2), states.pos.dtype)
+            nxt = self.fly(states, u, conv, k_fly)
+            return (nxt, pf), (nxt.pos, nxt.vel, u, conv, est_xy, est_cov)
+
+        keys = jax.random.split(key, num_steps)
+        (final, _), (tp, tv, tu, conv, exy, ecov) = jax.lax.scan(
+            step, (init, pf0), keys)
+        return CBFSimResult(states=final, traj_pos=tp, traj_vel=tv, u=tu,
+                            success=conv, est_mean=exy, est_cov=ecov)
+
+
+# ---------------------------------------------------------------------------
+# Bezier MPC (no CBF) closed loop (reference mpc/examples/BezierMPCXYYaw)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BezierMPCSim:
+    """Closed loop of the CBF-free Bezier MPC with Voronoi separation
+    (``mpc/examples/BezierMPCXYYaw_example.cpp``; controller
+    ``mpc/src/controller/BezierMPC.cpp:36-98``). Same scan/vmap skeleton as
+    MultiAgentSim."""
+
+    controller: object            # BezierMPC built with max_neighbors=A-1
+    num_agents: int
+    noise_pos_std: float = 0.0
+    noise_vel_std: float = 0.0
+
+    def control_step(self, states: State, goals: Array,
+                     warm: Optional[Array] = None):
+        ctrl, A = self.controller, self.num_agents
+        op = ctrl.op
+
+        def one(i, warm_i):
+            others = jnp.delete(jnp.arange(A), i, assume_unique_indices=True)
+            ref = jnp.tile(goals[i], op.mpc.k_hor)
+            cur = State(pos=states.pos[i], vel=states.vel[i])
+            coeffs, sol = ctrl.plan(
+                cur, ref, states.pos[others],
+                jnp.ones(A - 1, bool) if A > 1 else jnp.zeros(0, bool),
+                warm=(warm_i, None) if warm_i is not None else None,
+            )
+            return coeffs, sol.converged
+
+        warm_b = warm if warm is not None else jnp.zeros(
+            (A, op.n_dec), states.pos.dtype)
+        return jax.vmap(one)(jnp.arange(A), warm_b)
+
+    def fly(self, coeffs: Array, prev: State, success: Array, key: Array) -> State:
+        op = self.controller.op
+        t_end = float(op.ts_samples[-1] + op.mpc.Ts)
+        pos = jax.vmap(lambda z: op.eval_solution(z, [t_end], 0)[0])(coeffs)
+        vel = jax.vmap(lambda z: op.eval_solution(z, [t_end], 1)[0])(coeffs)
+        pos = jnp.where(success[:, None], pos, prev.pos)
+        vel = jnp.where(success[:, None], vel, jnp.zeros_like(vel))
+        st = State(pos=pos, vel=vel)
+        if self.noise_pos_std > 0 or self.noise_vel_std > 0:
+            st = add_random_noise(key, st, self.noise_pos_std, self.noise_vel_std)
+        return st
+
+    @partial(jax.jit, static_argnames=("self", "num_steps"))
+    def rollout(self, init: State, goals: Array, num_steps: int,
+                key: Optional[Array] = None) -> SimResult:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n = self.controller.op.n_dec
+
+        def step(carry, k):
+            states, warm = carry
+            coeffs, success = self.control_step(states, goals, warm)
+            nxt = self.fly(coeffs, states, success, k)
+            return (nxt, coeffs), (nxt.pos, nxt.vel, success, coeffs)
+
+        keys = jax.random.split(key, num_steps)
+        warm0 = jnp.zeros((self.num_agents, n), init.pos.dtype)
+        (final, _), (tp, tv, succ, coeffs) = jax.lax.scan(step, (init, warm0), keys)
+        return SimResult(states=final, traj_pos=tp, traj_vel=tv,
+                         success=succ, coeffs=coeffs[-1])
