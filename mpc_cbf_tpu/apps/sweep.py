@@ -1,0 +1,113 @@
+"""Batched scenario sweep — the TPU-native replacement for ScaleScript.sh.
+
+Where the reference launches independent simulator processes in a bash loop
+(``experiments/bash/ScaleScript.sh:16-35``: num_robots 2-10 x 15 seeds in
+parallel via ``&``), here every seed of a size is one lane of a *batched
+scenario axis*: all seeds run in lockstep inside a single jitted rollout,
+sharded across the device mesh (``parallel.sharded_rollout``). A whole
+15-seed sweep costs barely more than one sim.
+
+Usage:
+  python -m mpc_cbf_tpu.apps.sweep --base configs/base_config.json \
+      --sizes 2 4 8 --seeds 8 --controller connectivity \
+      --sim-runtime 6.0 --out /tmp/sweep.jsonl [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_cbf_tpu.types import State
+    from mpc_cbf_tpu.apps.run_sim import build_sim
+    from mpc_cbf_tpu.parallel import make_mesh, sharded_rollout
+    from mpc_cbf_tpu.utils.instances import circle_rotate_instance
+    from mpc_cbf_tpu.utils import config as cfgmod
+    from mpc_cbf_tpu.utils.metrics import instance_success
+
+    sim, mpc = build_sim(cfg, controller, R, solver_iters)
+    inst = circle_rotate_instance(R, radius=max(2.0, 0.8 * R / 2))
+    so = np.asarray(inst["tasks"]["so"])
+    sf = np.asarray(inst["tasks"]["sf"])
+
+    rng = np.random.default_rng(0)
+    so_b = so[None] + np.concatenate(
+        [rng.normal(0, start_noise, (seeds, R, 2)), np.zeros((seeds, R, 1))], -1
+    )
+    init = State(pos=jnp.asarray(so_b, jnp.float32),
+                 vel=jnp.zeros((seeds, R, 3), jnp.float32))
+    goals = jnp.asarray(np.broadcast_to(sf, (seeds, R, 3)).copy(), jnp.float32)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(scenario=n_dev)
+    t0 = time.time()
+    res = jax.block_until_ready(sharded_rollout(sim, mesh, init, goals, steps))
+    wall = time.time() - t0
+
+    shape, shape_type = cfgmod.parse_collision_shape(cfg)
+    coll = np.asarray(shape[:2]) if shape_type == "box" else shape
+    rows = []
+    traj = np.asarray(res.traj_pos)   # [S, T, R, 3]
+    for s in range(seeds):
+        ok, makespan = instance_success(
+            traj[s].transpose(1, 0, 2), sf, radius=1.0,
+            collision_shape=coll, shape_type=shape_type)
+        rows.append({
+            "controller": controller, "num_robots": R, "seed": s,
+            "success": bool(ok), "makespan": makespan,
+            "solver_success_rate":
+                float(np.asarray(res.success[s], np.float32).mean()),
+            "wall_s_batch": round(wall, 2), "steps": steps,
+        })
+    return rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", required=True)
+    p.add_argument("--sizes", type=int, nargs="+", default=[2, 4, 8])
+    p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--controller", default="connectivity")
+    p.add_argument("--sim-runtime", type=float, default=6.0)
+    p.add_argument("--solver-iters", type=int, default=200)
+    p.add_argument("--out", default="sweep.jsonl")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        from mpc_cbf_tpu.utils.runtime import force_platform
+        force_platform(args.platform)
+    from mpc_cbf_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+
+    from mpc_cbf_tpu.utils import config as cfgmod
+    cfg = cfgmod.load_config(args.base)
+
+    all_rows = []
+    for R in args.sizes:
+        mpc = cfgmod.parse_mpc_params(cfg)
+        steps = int(round(args.sim_runtime / mpc.h))
+        rows = run_size(cfg, args.controller, R, args.seeds, steps,
+                        args.solver_iters)
+        all_rows.extend(rows)
+        ok = sum(r["success"] for r in rows)
+        print(f"R={R}: {ok}/{len(rows)} success, "
+              f"batch wall {rows[0]['wall_s_batch']}s")
+
+    with open(args.out, "w") as f:
+        for r in all_rows:
+            f.write(json.dumps(r) + "\n")
+    print(args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -107,6 +107,15 @@ class FovCBFController:
         from mpc_cbf_tpu.controllers.mpc_cbf import CBF_BOUND_CAP
         ub_cbf = jnp.clip(b_nbr.reshape(4 * N), -CBF_BOUND_CAP, CBF_BOUND_CAP)
         row_mask = jnp.repeat(neighbor_mask, 4)
+        # prune provably-inactive rows: |a . u| <= ||a||_1 * u_reach given
+        # the control-bound rows below (far-neighbor alpha compositions
+        # produce b ~ 1e4+, which wrecks f32 ADMM row scaling)
+        if self.u_max is not None or self.u_min is not None:
+            hi = jnp.max(jnp.abs(self.u_max)) if self.u_max is not None else jnp.inf
+            lo = jnp.max(jnp.abs(self.u_min)) if self.u_min is not None else jnp.inf
+            u_reach = jnp.maximum(hi, lo)
+            a_l1 = jnp.sum(jnp.abs(A_cbf[:, :3]), axis=-1)
+            row_mask = row_mask & (ub_cbf <= a_l1 * u_reach)
         A_cbf = jnp.where(row_mask[:, None], A_cbf, 0.0)
         ub_cbf = jnp.where(row_mask, ub_cbf, BIG)
         if self.slack_mode:
@@ -214,6 +223,12 @@ class ConnectivityCBFController:
         b_saf = jnp.clip(b_saf, -CBF_BOUND_CAP, CBF_BOUND_CAP)
         A_saf = jnp.where(is_self[:, None], 0.0, A_saf)
         b_saf = jnp.where(is_self, BIG, b_saf)
+        # prune provably-inactive far-neighbor rows: the velocity-barrier
+        # rows imply |u_d| <= (vmax - vmin)_d (relative-degree-1, alpha=id),
+        # so b beyond ||a||_1 * u_reach can never bind (f32 ADMM scaling)
+        u_reach = jnp.max(jnp.abs(self.cbf.vmax - self.cbf.vmin))
+        a_l1 = jnp.sum(jnp.abs(A_saf[:, :3]), axis=-1)
+        b_saf = jnp.where(b_saf > a_l1 * u_reach, BIG, b_saf)
         # slack idx for neighbor j: its position among non-self robots
         nbr_ord = jnp.cumsum(~is_self) - 1
         if S:

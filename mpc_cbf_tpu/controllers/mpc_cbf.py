@@ -62,8 +62,18 @@ CBF_BOUND_CAP = 1.0e6
 
 
 class IMPCResult(NamedTuple):
-    coeffs: Array          # [n_dec] final Bezier control points
-    success: Array         # bool: all iterations converged
+    coeffs: Array          # [n_dec] control points of the curve to fly:
+                           # the last USABLE iterate (converged or within
+                           # USABLE_PRI_EPS of feasibility — what the
+                           # reference caller flies as trajs.back(),
+                           # MPCCBFFormationControl_example.cpp:160-163);
+                           # if no iterate is usable, the final finite
+                           # iterate — ADMM's minimal-violation compromise
+                           # (max braking), strictly safer than the
+                           # reference's fly-the-stale-curve fallback
+    success: Array         # bool: at least one iterate was usable
+    flyable: Array         # bool: coeffs hold SOME finite curve to fly
+    all_converged: Array   # bool: every iteration strictly converged
     pri_res: Array         # worst primal residual across iterations
     iterates: Array        # [impc_iter, n_dec] per-iteration solutions
 
@@ -77,6 +87,15 @@ def _rank_weights(distances: Array, w_init: float, decay: float) -> Array:
 
 class _IMPCCBFBase:
     """Shared fixed-shape assembly for both IMPC-CBF variants."""
+
+    #: an iterate is flyable even when the solver missed its convergence
+    #: bars, as long as every constraint is violated by at most this much
+    #: (CPLEX either proves optimality or returns nothing; a fixed-iteration
+    #: ADMM instead returns a near-feasible compromise — on a genuinely
+    #: infeasible iter>0 QP that compromise is a minimal-violation point,
+    #: which is strictly safer to fly than the relaxed iter-0 curve the
+    #: reference falls back to, ConnectivityIMPCCBF.cpp:203-211)
+    USABLE_PRI_EPS: float = 0.05
 
     #: number of CBF constraint families per neighbor (4 for FoV, 1 for conn)
     num_families: int = 1
@@ -137,17 +156,26 @@ class _IMPCCBFBase:
         def rows_for(k, x_k, nbr):
             A_f, b_f = self._cbf_rows_at(x_k, nbr)  # [F,3],[F]
             blk = jax.lax.dynamic_slice_in_dim(U, k * op.dim, op.dim, axis=0)
-            return -(A_f @ blk), b_f  # [F, n_dec], [F]
+            return -(A_f @ blk), b_f, jnp.sum(jnp.abs(A_f), axis=-1)
 
         # vmap over horizon steps and neighbors
         ks = jnp.arange(H)
-        A_all, b_all = jax.vmap(
+        A_all, b_all, a_l1 = jax.vmap(
             lambda k, x_k: jax.vmap(lambda nbr: rows_for(k, x_k, nbr))(neighbor_blob)
         )(ks, pred_states)  # A: [H, N, F, n_dec], b: [H, N, F]
 
         mask = jnp.broadcast_to(
             active_k[:, None, None] & neighbor_mask[None, :, None], (H, N, F)
         )
+        # Prune provably-inactive rows: the row constrains a . u_k with u_k
+        # the sampled acceleration at step k, and the accel bound rows
+        # already enforce |u_k|_inf <= a_max — so any b beyond
+        # ||a||_1 * a_max can never bind. Far-neighbor alpha compositions
+        # produce b ~ 1e4..1e28; leaving such rows "active" with huge
+        # finite bounds destroys the f32 ADMM row scaling near
+        # interactions (solver failures -> frozen robots).
+        a_reach = float(np.max(np.abs(np.asarray(self.op.mpc.a_max))))
+        mask = mask & (b_all <= a_l1 * a_reach)
         A_all = jnp.where(mask[..., None], A_all, 0.0)
         b_all = jnp.clip(b_all, -CBF_BOUND_CAP, CBF_BOUND_CAP)
         ub_all = jnp.where(mask, b_all, BIG)
@@ -297,7 +325,12 @@ class _IMPCCBFBase:
         x0 = warm if warm is not None else jnp.zeros(self.n, dt)
         y0 = None
         coeffs = jnp.zeros(op.n_dec, dt)
-        success = jnp.asarray(True)
+        # the curve actually flown: the LAST CONVERGED iterate (the
+        # reference appends a curve per successful solve and the caller
+        # flies trajs.back(), MPCCBFFormationControl_example.cpp:160-163)
+        best = jnp.zeros(op.n_dec, dt)
+        any_ok = jnp.asarray(False)
+        all_ok = jnp.asarray(True)
         worst = jnp.asarray(0.0, dt)
         iterates = []
 
@@ -314,12 +347,19 @@ class _IMPCCBFBase:
             sol = solve_batch(qp, self.solver, x0=x0, y0=y0)
             coeffs = sol.z[: op.n_dec]
             x0, y0 = sol.z, sol.y
-            success = success & sol.converged
+            finite = jnp.all(jnp.isfinite(sol.z))
+            usable = sol.converged | ((sol.pri_res <= self.USABLE_PRI_EPS) & finite)
+            best = jnp.where(usable, coeffs, best)
+            any_ok = any_ok | usable
+            all_ok = all_ok & sol.converged
             worst = jnp.maximum(worst, sol.pri_res)
             iterates.append(coeffs)
 
-        return IMPCResult(coeffs=coeffs, success=success, pri_res=worst,
-                          iterates=jnp.stack(iterates))
+        last_finite = jnp.all(jnp.isfinite(coeffs))
+        fly = jnp.where(any_ok, best, jnp.where(last_finite, coeffs, best))
+        return IMPCResult(coeffs=fly, success=any_ok,
+                          flyable=any_ok | last_finite, all_converged=all_ok,
+                          pri_res=worst, iterates=jnp.stack(iterates))
 
 
 class FovIMPCCBF(_IMPCCBFBase):
@@ -491,8 +531,10 @@ class StructuredIMPC:
         active0 = jnp.arange(H) == 0
 
         coeffs = jnp.zeros((B, op.n_dec), dt)
+        best = jnp.zeros((B, op.n_dec), dt)
         x0 = warm if warm is not None else jnp.zeros((B, ctrl.n), dt)
-        success = jnp.ones(B, bool)
+        any_ok = jnp.zeros(B, bool)
+        all_ok = jnp.ones(B, bool)
         worst = jnp.zeros(B, dt)
         iterates = []
 
@@ -511,9 +553,17 @@ class StructuredIMPC:
             sol = self.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
             coeffs = sol.z[:, : op.n_dec]
             x0 = sol.z
-            success = success & sol.converged
+            finite = jnp.all(jnp.isfinite(sol.z), axis=-1)
+            usable = sol.converged | ((sol.pri_res <= ctrl.USABLE_PRI_EPS) & finite)
+            best = jnp.where(usable[:, None], coeffs, best)
+            any_ok = any_ok | usable
+            all_ok = all_ok & sol.converged
             worst = jnp.maximum(worst, sol.pri_res)
             iterates.append(coeffs)
 
-        return IMPCResult(coeffs=coeffs, success=success, pri_res=worst,
-                          iterates=jnp.stack(iterates, axis=0))
+        last_finite = jnp.all(jnp.isfinite(coeffs), axis=-1)
+        fly = jnp.where(any_ok[:, None], best,
+                        jnp.where(last_finite[:, None], coeffs, best))
+        return IMPCResult(coeffs=fly, success=any_ok,
+                          flyable=any_ok | last_finite, all_converged=all_ok,
+                          pri_res=worst, iterates=jnp.stack(iterates, axis=0))

@@ -95,26 +95,57 @@ class MultiAgentSim:
                 blob = _neighbor_blob_connectivity(states, i, A)
             cur = State(pos=states.pos[i], vel=states.vel[i])
             res = ctrl.optimize(cur, ref, blob, jnp.ones(A - 1, bool), warm=warm_i)
-            return res.coeffs, res.success
+            return res.coeffs, res.success, res.flyable
 
         warm_b = warm if warm is not None else jnp.zeros((A, ctrl.n), states.pos.dtype)
-        return jax.vmap(one)(jnp.arange(A), warm_b)
+        coeffs, success, flyable = jax.vmap(one)(jnp.arange(A), warm_b)
+        return coeffs, success, flyable
 
-    def fly(self, coeffs: Array, prev: State, success: Array, key: Array) -> State:
-        """Advance each agent h seconds along its curve (the reference's
-        Ts-grid evaluation collapses to the endpoint sample + noise;
-        failed agents hold position with zero velocity,
-        MPCCBFFormationControl_example.cpp:208-221)."""
+    def _age_eval_mats(self):
+        """Eval operators for flying a curve its a-th period: row a maps
+        control points -> state at t = min((a+1) h, max_parameter)
+        (the reference clamps eval_t at the curve end,
+        MPCCBFFormationControl_example.cpp:191-196)."""
         op = self.controller.op
-        t_end = float(op.ts_samples[-1] + op.mpc.Ts)
-        pos = jax.vmap(lambda z: op.eval_solution(z, [t_end], 0)[0])(coeffs)
-        vel = jax.vmap(lambda z: op.eval_solution(z, [t_end], 1)[0])(coeffs)
-        pos = jnp.where(success[:, None], pos, prev.pos)
-        vel = jnp.where(success[:, None], vel, jnp.zeros_like(vel))
+        h = op.mpc.h
+        n_ages = max(int(np.ceil(op.pw.max_parameter / h + 1e-9)), 1)
+        ts = [min((a + 1) * h, op.pw.max_parameter) for a in range(n_ages)]
+        E0 = np.stack([op.pw.eval_matrix([t], 0) for t in ts])  # [n_ages, dim, n]
+        E1 = np.stack([op.pw.eval_matrix([t], 1) for t in ts])
+        return E0, E1, n_ages
+
+    def fly(self, coeffs: Array, prev: State, fresh: Array, key: Array,
+            age: Optional[Array] = None, has_curve: Optional[Array] = None):
+        """Advance each agent h seconds. Reference failure semantics
+        (MPCCBFFormationControl_example.cpp:150-221): a fresh curve resets
+        the eval clock; on a failed solve the agent KEEPS FLYING its last
+        successful curve (eval time advancing, clamped at the curve end);
+        only an agent that never had a curve holds with zero velocity.
+
+        age: [A] int32, periods already flown on the current curve.
+        has_curve: [A] bool. Returns (State, new_age, new_has_curve).
+        """
+        op = self.controller.op
+        A = self.num_agents
+        if age is None:
+            age = jnp.zeros(A, jnp.int32)
+        if has_curve is None:
+            has_curve = jnp.zeros(A, bool)
+        E0, E1, n_ages = self._age_eval_mats()
+        dt = prev.pos.dtype
+        E0 = jnp.asarray(E0, dt)
+        E1 = jnp.asarray(E1, dt)
+
+        idx = jnp.where(fresh, 0, jnp.minimum(age, n_ages - 1))
+        has_curve_new = has_curve | fresh
+        pos = jnp.einsum("adn,an->ad", E0[idx], coeffs)
+        vel = jnp.einsum("adn,an->ad", E1[idx], coeffs)
+        pos = jnp.where(has_curve_new[:, None], pos, prev.pos)
+        vel = jnp.where(has_curve_new[:, None], vel, jnp.zeros_like(vel))
         st = State(pos=pos, vel=vel)
         if self.noise_pos_std > 0 or self.noise_vel_std > 0:
             st = add_random_noise(key, st, self.noise_pos_std, self.noise_vel_std)
-        return st
+        return st, idx + 1, has_curve_new
 
     @partial(jax.jit, static_argnames=("self", "num_steps"))
     def rollout(self, init: State, goals: Array, num_steps: int,
@@ -125,15 +156,24 @@ class MultiAgentSim:
         n = self.controller.n
 
         def step(carry, k):
-            states, warm = carry
-            coeffs, success = self.control_step(states, goals, warm)
-            new_states = self.fly(coeffs, states, success, k)
-            warm_new = jnp.zeros_like(warm).at[:, : coeffs.shape[-1]].set(coeffs)
-            return (new_states, warm_new), (new_states.pos, new_states.vel, success, coeffs)
+            states, warm, cur_coeffs, age, has_curve = carry
+            new_coeffs, success, fresh = self.control_step(states, goals, warm)
+            # agents with no flyable result keep their previous curve
+            # (reference keeps flying trajs.back(), see fly())
+            cur_coeffs = jnp.where(fresh[:, None], new_coeffs, cur_coeffs)
+            new_states, age, has_curve = self.fly(
+                cur_coeffs, states, fresh, k, age, has_curve)
+            warm_new = jnp.zeros_like(warm).at[:, : cur_coeffs.shape[-1]].set(cur_coeffs)
+            return ((new_states, warm_new, cur_coeffs, age, has_curve),
+                    (new_states.pos, new_states.vel, success, cur_coeffs))
 
         keys = jax.random.split(key, num_steps)
-        warm0 = jnp.zeros((self.num_agents, n), init.pos.dtype)
-        (final, _), (tp, tv, succ, coeffs) = jax.lax.scan(step, (init, warm0), keys)
+        A = self.num_agents
+        warm0 = jnp.zeros((A, n), init.pos.dtype)
+        carry0 = (init, warm0,
+                  jnp.zeros((A, self.controller.op.n_dec), init.pos.dtype),
+                  jnp.zeros(A, jnp.int32), jnp.zeros(A, bool))
+        (final, *_), (tp, tv, succ, coeffs) = jax.lax.scan(step, carry0, keys)
         return SimResult(states=final, traj_pos=tp, traj_vel=tv,
                          success=succ, coeffs=coeffs[-1])
 

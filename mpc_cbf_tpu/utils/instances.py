@@ -57,3 +57,40 @@ def random_instance(num_robots: int, box: float = 5.0, min_sep: float = 1.5,
     so = np.concatenate([so_xy, yaw], axis=-1)
     sf = np.concatenate([sf_xy, yaw], axis=-1)
     return {"tasks": {"so": so.tolist(), "sf": sf.tolist()}}
+
+
+def circle_rotate_instance(num_robots: int, radius: float = 3.0) -> Dict:
+    """Cyclic rotation on a circle: each robot's goal is its successor's
+    start. Feasible for every controller family (the antipodal swap of
+    circle_swap_instance deadlocks single-step CBF-QPs head-on)."""
+    inst = circle_swap_instance(num_robots, radius)
+    so = np.asarray(inst["tasks"]["so"])
+    sf = np.roll(so, -1, axis=0)
+    return {"tasks": {"so": so.tolist(), "sf": sf.tolist()}}
+
+
+def formation_instance(num_robots: int, n_row: int = 2, dx: float = 1.5,
+                       dy: float = 1.5, travel: float = 4.0) -> Dict:
+    """Grid formation translating forward (reference
+    generate_formation_instance1.py / generate_points_on_formation)."""
+    cols = int(np.ceil(num_robots / n_row))
+    idx = np.arange(num_robots)
+    x = (idx % cols) * dx
+    y = (idx // cols) * dy
+    so = np.stack([x, y, np.zeros(num_robots)], axis=-1)
+    sf = so + np.array([travel, 0.0, 0.0])
+    return {"tasks": {"so": so.tolist(), "sf": sf.tolist()}}
+
+
+def fov_circle_instance(num_robots: int, radius: float = 3.0) -> Dict:
+    """Antipodal circle swap with yaw facing the circle center — the FoV
+    instance layout (generate_fov_instance.py: compute_yaw toward center)."""
+    ang = 2 * np.pi * np.arange(num_robots) / num_robots
+    x, y = radius * np.cos(ang), radius * np.sin(ang)
+    yaw = np.arctan2(-y, -x)
+    so = np.stack([x, y, yaw], axis=-1)
+    gx, gy = -x, -y
+    gyaw = np.arctan2(-gy, -gx)
+    sf = np.stack([gx, gy, gyaw], axis=-1)
+    return {"tasks": {"so": np.round(so, 3).tolist(),
+                      "sf": np.round(sf, 3).tolist()}}

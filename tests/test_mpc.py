@@ -137,33 +137,18 @@ def test_connectivity_impc_cbf_two_agent_swap_no_collision():
     ctrl = ConnectivityIMPCCBF(op, cbf, impc, max_neighbors=1,
                                solver=ADMMConfig(iters=300))
 
+    from mpc_cbf_tpu.parallel import MultiAgentSim
+
     starts = jnp.array([[-1.5, 0.02, 0.0], [1.5, -0.02, 0.0]])
     goals = jnp.array([[1.5, 0.0, 0.0], [-1.5, 0.0, 0.0]])
-    states = State(pos=starts, vel=jnp.zeros((2, 3)))
-    eval_t = float(op.ts_samples[-1] + MPC.Ts)
-
-    @jax.jit
-    def step(states):
-        def one(i):
-            ref = jnp.tile(goals[i], MPC.k_hor)
-            nbr = jnp.concatenate([states.pos[1 - i], states.vel[1 - i]])[None]
-            cur = State(pos=states.pos[i], vel=states.vel[i])
-            res = ctrl.optimize(cur, ref, nbr, jnp.array([True]))
-            return res.coeffs, res.success
-        coeffs, succ = jax.vmap(one)(jnp.arange(2))
-        pos = jax.vmap(lambda z: op.eval_solution(z, [eval_t], 0)[0])(coeffs)
-        vel = jax.vmap(lambda z: op.eval_solution(z, [eval_t], 1)[0])(coeffs)
-        return State(pos=pos, vel=vel), succ
-
-    min_dist = np.inf
-    for _ in range(45):  # 4.5 s: the head-on negotiation is slow by design
-        states, succ = step(states)
-        d = float(jnp.linalg.norm(states.pos[0, :2] - states.pos[1, :2]))
-        min_dist = min(min_dist, d)
-    assert min_dist > d_min - 0.05, f"robots collided: min dist {min_dist}"
+    sim = MultiAgentSim(ctrl, 2)
+    res = sim.rollout(State(pos=starts, vel=jnp.zeros((2, 3))), goals, 45)
+    traj = np.asarray(res.traj_pos)
+    d = np.linalg.norm(traj[:, 0, :2] - traj[:, 1, :2], axis=-1)
+    assert d.min() > d_min - 0.05, f"robots collided: min dist {d.min()}"
     # both made progress toward their goals
-    assert float(states.pos[0, 0]) > 0.5
-    assert float(states.pos[1, 0]) < -0.5
+    assert traj[-1, 0, 0] > 0.5, traj[-1]
+    assert traj[-1, 1, 0] < -0.5, traj[-1]
 
 
 def test_fov_impc_slack_mode():

