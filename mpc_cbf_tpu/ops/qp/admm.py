@@ -4,10 +4,12 @@ Replaces the reference's CPLEX backend (``qpcpp/src/solvers/CPLEX.cpp``).
 Where CPLEX runs one active-set solve on one CPU thread (Threads=1,
 CPLEX.cpp:118), this solver runs *thousands of QPs in lockstep*: every
 operation below is a batched matmul / elementwise op over a leading batch
-axis, which is exactly the shape of work the MXU/VPU wants. A Pallas kernel
-version that keeps the iteration state resident in VMEM lives in
-``pallas_admm.py``; this module is the semantics reference and the fallback
-path for CPU tests.
+axis, which is exactly the shape of work the MXU/VPU wants. The production
+TPU path is the structure-exploiting solver (``structured.py``) whose
+iteration loop runs as one fused Pallas kernel with all state resident in
+VMEM (``pallas_admm.py``); this dense module is the semantics reference,
+the general-QP fallback (arbitrary per-problem P/A), and the CPU test
+path.
 
 Algorithm (OSQP, Stellato et al. 2020), for
     minimize 0.5 z'Pz + q'z  s.t.  lb <= Az <= ub:

@@ -1,0 +1,200 @@
+"""Fused Pallas TPU kernel for the structured ADMM iteration loop.
+
+The structure-exploiting solver (``ops/qp/structured.py``) iterates ~200
+times over tiny tensors: a [n,n]x[n,B] MXU matmul plus a handful of
+per-lane VPU contractions. Run as a ``lax.scan``, every iteration is its
+own fusion with HBM round-trips for the full solver state — hundreds of
+kernel launches per solve. This kernel fuses the ENTIRE loop: one launch,
+all state (x, z_s, z_d, y_s, y_d) resident in VMEM for a block of batch
+lanes, shared operators (M_s^{-1}, A_s) loaded once.
+
+Layout: lanes = batch (last dim, 128-aligned blocks), sublanes = the
+problem dimensions (n, m_s, m_d — padded by Mosaic as needed). The shared
+matmuls hit the MXU; the per-lane dynamic-row algebra (A_d apply, 6x6
+Cholesky substitutions, Woodbury correction) is unrolled elementwise on
+the VPU across lanes.
+
+Numerical semantics match ``StructuredQPOperator._solve``'s scan body
+exactly (same update order, same over-relaxation); equality is asserted
+in tests/test_pallas_admm.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ms_inv_ref, a_s_ref, rho_s_ref,
+            qb_ref, lbs_ref, ubs_ref,
+            ad_ref, lbd_ref, ubd_ref, rho_d_ref,
+            w_ref, cchol_ref, x0_ref,
+            x_out, ys_out, yd_out,
+            *, iters: int, sigma: float, alpha: float, m_d: int):
+    f32 = jnp.float32
+    dot = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
+
+    Ms_inv = ms_inv_ref[:]            # [n, n]
+    A_s = a_s_ref[:]                  # [m_s, n]
+    rho_s = rho_s_ref[:]              # [m_s, 1] (broadcasts over lanes)
+    qb = qb_ref[:]                    # [n, Bb]
+    lbs, ubs = lbs_ref[:], ubs_ref[:]  # [m_s, Bb]
+    Ad = ad_ref[:]                    # [m_d, n, Bb]
+    lbd, ubd = lbd_ref[:], ubd_ref[:]  # [m_d, Bb]
+    rho_d = rho_d_ref[:]              # [m_d, Bb]
+    W = w_ref[:]                      # [n, m_d, Bb]
+    C = cchol_ref[:]                  # [m_d, m_d, Bb]
+
+    def ad_apply(v):                  # [n, Bb] -> [m_d, Bb]
+        return jnp.sum(Ad * v[None, :, :], axis=1)
+
+    def adT_apply(r):                 # [m_d, Bb] -> [n, Bb]
+        return jnp.sum(Ad * r[:, None, :], axis=0)
+
+    def chol_solve(t):                # [m_d, Bb] -> [m_d, Bb]
+        # forward substitution L y = t, then backward L' u = y; C holds L.
+        y = []
+        for i in range(m_d):
+            acc = t[i]
+            for j in range(i):
+                acc = acc - C[i, j] * y[j]
+            y.append(acc / C[i, i])
+        u = [None] * m_d
+        for i in reversed(range(m_d)):
+            acc = y[i]
+            for j in range(i + 1, m_d):
+                acc = acc - C[j, i] * u[j]
+            u[i] = acc / C[i, i]
+        return jnp.stack(u)
+
+    def msolve(rhs):                  # [n, Bb] -> [n, Bb] (Woodbury)
+        S = dot(Ms_inv, rhs, (((1,), (0,)), ((), ())))
+        t = ad_apply(S)
+        u = chol_solve(t)
+        corr = jnp.sum(W * u[None, :, :], axis=1)   # contract m_d -> [n, Bb]
+        return S - corr
+
+    X = x0_ref[:]
+    ZS = jnp.clip(dot(A_s, X, (((1,), (0,)), ((), ()))), lbs, ubs)
+    ZD = jnp.clip(ad_apply(X), lbd, ubd)
+    YS = jnp.zeros_like(ZS)
+    YD = jnp.zeros_like(ZD)
+
+    def body(_, carry):
+        X, ZS, ZD, YS, YD = carry
+        rs = rho_s * ZS - YS
+        rd = rho_d * ZD - YD
+        RHS = sigma * X - qb \
+            + dot(A_s, rs, (((0,), (0,)), ((), ()))) \
+            + adT_apply(rd)
+        XT = msolve(RHS)
+        zAs = dot(A_s, XT, (((1,), (0,)), ((), ())))
+        zAd = ad_apply(XT)
+        X_new = alpha * XT + (1.0 - alpha) * X
+        zs_h = alpha * zAs + (1.0 - alpha) * ZS + YS / rho_s
+        zd_h = alpha * zAd + (1.0 - alpha) * ZD + YD / rho_d
+        ZS_new = jnp.clip(zs_h, lbs, ubs)
+        ZD_new = jnp.clip(zd_h, lbd, ubd)
+        YS_new = YS + rho_s * (alpha * zAs + (1.0 - alpha) * ZS - ZS_new)
+        YD_new = YD + rho_d * (alpha * zAd + (1.0 - alpha) * ZD - ZD_new)
+        return X_new, ZS_new, ZD_new, YS_new, YD_new
+
+    X, ZS, ZD, YS, YD = jax.lax.fori_loop(
+        0, iters, body, (X, ZS, ZD, YS, YD))
+    x_out[:] = X
+    ys_out[:] = YS
+    yd_out[:] = YD
+
+
+def structured_admm_iterations(
+    Ms_inv, A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd, rho_d, W, C_chol, x0,
+    *, iters: int, sigma: float, alpha: float,
+    block: int = 256, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run the fused iteration loop. Batch-first inputs (as produced by
+    StructuredQPOperator._solve after scaling):
+
+      qb, x0 [B, n]; lbs, ubs [B, m_s]; Ad [B, m_d, n]; lbd, ubd, rho_d
+      [B, m_d]; W [B, n, m_d]; C_chol [B, m_d, m_d]; shared Ms_inv [n, n],
+      A_sb [m_s, n], rho_s [m_s].
+
+    Returns (x [B, n], ys [B, m_s], yd [B, m_d]) — same quantities the
+    jnp scan carries (scaled coordinates).
+    """
+    B, n = qb.shape
+    m_s = A_sb.shape[0]
+    m_d = Ad.shape[1]
+    f32 = jnp.float32
+
+    Bb = min(block, max(128, 1 << (B - 1).bit_length()))
+    B_pad = ((B + Bb - 1) // Bb) * Bb
+
+    def pad_lane(a):
+        """Pad the batch axis (axis 0) then move it last."""
+        pad = [(0, B_pad - B)] + [(0, 0)] * (a.ndim - 1)
+        a = jnp.pad(a.astype(f32), pad)
+        return jnp.moveaxis(a, 0, -1)
+
+    qbT = pad_lane(qb)                    # [n, B]
+    lbsT, ubsT = pad_lane(lbs), pad_lane(ubs)
+    AdT = pad_lane(Ad)                    # [m_d, n, B]
+    lbdT, ubdT = pad_lane(lbd), pad_lane(ubd)
+    # padded lanes: keep rho strictly positive (divisions inside)
+    rho_dT = pad_lane(rho_d)
+    lane_pad = jnp.arange(B_pad) >= B
+    rho_dT = jnp.where(lane_pad[None, :], 1.0, rho_dT)
+    WT = pad_lane(W)                      # [n, m_d, B]
+    CT = pad_lane(C_chol)                 # [m_d, m_d, B]
+    # padded lanes need a nonsingular Cholesky factor
+    eye = jnp.eye(m_d, dtype=f32)[:, :, None]
+    CT = jnp.where(lane_pad[None, None, :], eye, CT)
+    x0T = pad_lane(x0)
+
+    grid = (B_pad // Bb,)
+    vm = pltpu.VMEM
+
+    def lane_spec(*lead):
+        nd = len(lead)
+        return pl.BlockSpec((*lead, Bb), lambda i: (0,) * nd + (i,),
+                            memory_space=vm)
+
+    def shared_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=vm)
+
+    kern = functools.partial(_kernel, iters=iters, sigma=float(sigma),
+                             alpha=float(alpha), m_d=m_d)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            shared_spec((n, n)),          # Ms_inv
+            shared_spec((m_s, n)),        # A_sb
+            shared_spec((m_s, 1)),        # rho_s
+            lane_spec(n),                 # qbT
+            lane_spec(m_s), lane_spec(m_s),
+            lane_spec(m_d, n),            # AdT
+            lane_spec(m_d), lane_spec(m_d), lane_spec(m_d),
+            lane_spec(n, m_d),            # WT
+            lane_spec(m_d, m_d),          # CT
+            lane_spec(n),                 # x0T
+        ],
+        out_specs=[lane_spec(n), lane_spec(m_s), lane_spec(m_d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B_pad), f32),
+            jax.ShapeDtypeStruct((m_s, B_pad), f32),
+            jax.ShapeDtypeStruct((m_d, B_pad), f32),
+        ],
+        interpret=interpret,
+    )(Ms_inv.astype(f32), A_sb.astype(f32),
+      rho_s.astype(f32).reshape(m_s, 1),
+      qbT, lbsT, ubsT, AdT, lbdT, ubdT, rho_dT, WT, CT, x0T)
+
+    x, ys, yd = (jnp.moveaxis(o, -1, 0)[:B] for o in out)
+    return x, ys, yd

@@ -51,6 +51,12 @@ class StructuredConfig:
     alpha: float = 1.6
     eps_pri: float = 5e-3     # f32 bar (relative)
     refine_steps: int = 1
+    # fused Pallas iteration loop (ops/qp/pallas_admm.py): None = auto
+    # (on for f32 on TPU backends); False = jnp lax.scan; True = force
+    # (with pallas_interpret for CPU testing)
+    use_pallas: Optional[bool] = None
+    pallas_block: int = 256
+    pallas_interpret: bool = False
 
 
 class StructuredSolution(NamedTuple):
@@ -193,9 +199,25 @@ class StructuredQPOperator:
             yd_new = yd + rho_d * (cfg.alpha * zAd + (1 - cfg.alpha) * zd - zd_new)
             return (x_new, zs_new, zd_new, ys_new, yd_new), None
 
-        (x, zs, zd, ys, yd), _ = jax.lax.scan(
-            iteration, (x, zs, zd, ys, yd), None, length=cfg.iters
-        )
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            # any real-TPU backend (incl. the remote 'axon' plugin); the
+            # fused kernel needs f32 state
+            use_pallas = (jax.default_backend() not in ("cpu", "gpu")
+                          and dt == jnp.float32)
+        if use_pallas:
+            from mpc_cbf_tpu.ops.qp.pallas_admm import structured_admm_iterations
+
+            x_bf, _, _ = structured_admm_iterations(
+                self.Ms_inv, self.A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd,
+                rho_d, W, C_chol, x.T,
+                iters=cfg.iters, sigma=cfg.sigma, alpha=cfg.alpha,
+                block=cfg.pallas_block, interpret=cfg.pallas_interpret)
+            x = x_bf.T
+        else:
+            (x, zs, zd, ys, yd), _ = jax.lax.scan(
+                iteration, (x, zs, zd, ys, yd), None, length=cfg.iters
+            )
 
         # unscale; primal residual in scaled (row-equilibrated) coordinates,
         # which is the meaningful relative measure
