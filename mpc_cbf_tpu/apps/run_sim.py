@@ -82,8 +82,9 @@ def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
                              solver=solver)
             return BezierMPCSim(ctrl, num_robots, noise_pos_std=pos_std,
                                 noise_vel_std=vel_std), mpc
+        # one fused Pallas ADMM launch per step for the whole agent batch
         return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
-                             noise_vel_std=vel_std), mpc
+                             noise_vel_std=vel_std, structured=True), mpc
 
     # single-step controllers read the same slack knobs as the reference
     # examples (CBFFormationControl_example.cpp:94-96,165)

@@ -76,16 +76,47 @@ class MultiAgentSim:
     noise_pos_std: float = 0.0
     noise_vel_std: float = 0.0
     fov_cov_diag: float = 0.01
+    #: route the agent batch through the structure-exploiting solver
+    #: (one fused Pallas ADMM launch for all agents) instead of vmapping
+    #: the dense per-agent solver
+    structured: bool = False
+
+    def _structured_impc(self):
+        from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
+        from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+
+        if not hasattr(self, "_simpc_cache"):
+            cfg = StructuredConfig(iters=self.controller.solver.iters)
+            object.__setattr__(self, "_simpc_cache",
+                               StructuredIMPC(self.controller, cfg))
+        return self._simpc_cache
+
+    def _blobs(self, states: State) -> Array:
+        ctrl, A = self.controller, self.num_agents
+        if isinstance(ctrl, FovIMPCCBF):
+            return jax.vmap(
+                lambda i: _neighbor_blob_fov(states, i, A, self.fov_cov_diag)
+            )(jnp.arange(A))
+        return jax.vmap(
+            lambda i: _neighbor_blob_connectivity(states, i, A)
+        )(jnp.arange(A))
 
     def control_step(self, states: State, goals: Array,
                      warm: Optional[Array] = None):
         """One replanning step for all agents from a common snapshot.
 
         states: [A, dim] State; goals: [A, dim]. Returns (coeffs [A, n],
-        success [A]).
+        success [A], flyable [A]).
         """
         ctrl, op = self.controller, self.controller.op
         A = self.num_agents
+
+        if self.structured:
+            blobs = self._blobs(states)
+            ref = jnp.tile(goals, (1, op.mpc.k_hor))
+            res = self._structured_impc().optimize_batch(
+                states, ref, blobs, jnp.ones((A, A - 1), bool), warm=warm)
+            return res.coeffs, res.success, res.flyable
 
         def one(i, warm_i):
             ref = jnp.tile(goals[i], op.mpc.k_hor)
