@@ -1,0 +1,96 @@
+"""Large-scale swarm capability benchmark (BASELINE.json config 5:
+"1000+-scenario batched swarm (32 agents) across hosts").
+
+Runs S independent 32-agent scenarios in lockstep: every (scenario,
+agent) pair is one lane of the fused Pallas ADMM batch — S*32 MPC-CBF
+QPs per IMPC iteration, 2 iterations per control step. On multiple
+hosts, shard the scenario axis with parallel.distributed.
+
+Usage: python benchmarks/swarm.py [scenarios] [agents] [steps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_cbf_tpu.types import State
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+    from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+    from mpc_cbf_tpu.controllers import (
+        BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
+        ConnectivityIMPCCBF, StructuredIMPC,
+    )
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    A = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    cbf = ConnectivityCBF(1.0, 6.0, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+    ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), A - 1)
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=100))
+
+    rng = np.random.default_rng(0)
+    ang = 2 * np.pi * np.arange(A) / A
+    R = max(4.0, A * 1.2 / (2 * np.pi) * 2)       # ring with >1.2 m spacing
+    base = np.stack([R * np.cos(ang), R * np.sin(ang), np.zeros(A)], -1)
+    pos0 = base[None] + rng.normal(0, 0.05, (S, A, 3))
+    goals = np.roll(base, -1, axis=0)[None].repeat(S, 0)
+
+    others_idx = np.stack([np.delete(np.arange(A), i) for i in range(A)])
+
+    @jax.jit
+    def control_step(pos, vel):
+        allx = jnp.concatenate([pos, vel], -1)              # [S, A, 6]
+        blob = allx[:, others_idx]                          # [S, A, A-1, 6]
+        B = S * A
+        cur = State(pos=pos.reshape(B, 3), vel=vel.reshape(B, 3))
+        ref = jnp.tile(jnp.asarray(goals.reshape(B, 3), jnp.float32),
+                       (1, mpc.k_hor))
+        res = simpc.optimize_batch(cur, ref, blob.reshape(B, A - 1, 6),
+                                   jnp.ones((B, A - 1), bool))
+        E0 = jnp.asarray(op.pw.eval_matrix([mpc.h], 0), jnp.float32)
+        E1 = jnp.asarray(op.pw.eval_matrix([mpc.h], 1), jnp.float32)
+        new_pos = (res.coeffs @ E0.T).reshape(S, A, 3)
+        new_vel = (res.coeffs @ E1.T).reshape(S, A, 3)
+        ok = res.flyable.reshape(S, A)
+        new_pos = jnp.where(ok[..., None], new_pos, pos)
+        new_vel = jnp.where(ok[..., None], new_vel, 0.0)
+        return new_pos, new_vel, res.success.reshape(S, A)
+
+    pos = jnp.asarray(pos0, jnp.float32)
+    vel = jnp.zeros((S, A, 3), jnp.float32)
+    pos, vel, succ = jax.block_until_ready(control_step(pos, vel))  # compile
+
+    t0 = time.perf_counter()
+    rates = []
+    for _ in range(steps):
+        pos, vel, succ = control_step(pos, vel)
+        rates.append(succ)
+    jax.block_until_ready(pos)
+    dt = (time.perf_counter() - t0) / steps
+
+    qps = S * A * 2  # QPs per control step (impc_iter = 2)
+    print(json.dumps({
+        "metric": "swarm_qp_solves_per_s",
+        "scenarios": S, "agents": A,
+        "qp_per_step": qps,
+        "step_wall_s": round(dt, 3),
+        "solves_per_s": round(qps / dt, 1),
+        "solver_success_rate": round(
+            float(jnp.mean(jnp.stack(rates).astype(jnp.float32))), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,7 +132,15 @@ def structured_admm_iterations(
     m_d = Ad.shape[1]
     f32 = jnp.float32
 
-    Bb = min(block, max(128, 1 << (B - 1).bit_length()))
+    # VMEM-aware block clamp: per-lane resident floats are dominated by
+    # Ad + W (2 n m_d each) plus C (m_d^2), bounds/state vectors. Keep a
+    # block's state under ~6 MB so inputs + loop state + double buffering
+    # fit the ~16 MB VMEM (measured: 1024 lanes fit for m_d=6, n=40;
+    # 2048 overflows).
+    per_lane_bytes = 4 * (2 * n * m_d + m_d * m_d + 3 * n + 4 * m_s + 6 * m_d)
+    vmem_budget = 6 * 1024 * 1024
+    block_cap = max(128, (vmem_budget // per_lane_bytes) // 128 * 128)
+    Bb = min(block, block_cap, max(128, 1 << (B - 1).bit_length()))
     B_pad = ((B + Bb - 1) // Bb) * Bb
 
     def pad_lane(a):

@@ -55,7 +55,9 @@ class StructuredConfig:
     # (on for f32 on TPU backends); False = jnp lax.scan; True = force
     # (with pallas_interpret for CPU testing)
     use_pallas: Optional[bool] = None
-    pallas_block: int = 256
+    # 1024 lanes x ~800 f32 state/lane ~ 3.3 MB of VMEM-resident state —
+    # the measured throughput optimum (2048 overflows VMEM on v5e)
+    pallas_block: int = 1024
     pallas_interpret: bool = False
 
 
