@@ -101,7 +101,11 @@ def test_structured_control_deviation_vs_oracle():
 def test_f32_production_deviation():
     """The f32 production configuration floors at ~1e-1 worst-case control
     deviation (the flagship P spans 15 orders of magnitude; measured floor
-    is iteration-independent from 200 to 1600 iters). The <1e-3 BASELINE bar
+    is iteration-independent from 200 to 1600 iters). Measured root cause:
+    f32 cannot RESOLVE THE ACTIVE SET on the worst lanes (~4% of binding
+    rows misidentified vs the oracle), and an exact f64 polish against the
+    f32-identified active set reproduces the same deviation — so no amount
+    of f32 iteration or polishing moves the floor. The <1e-3 BASELINE bar
     is owned by the f64 accuracy configuration (tests above), which runs on
     TPU too; f32 trades ~2% of the 5 m/s^2 accel range for 6.5x throughput,
     with closed-loop safety/goal metrics unaffected (see test_mpc sims)."""

@@ -197,3 +197,19 @@ def test_add_random_noise_stats():
     noisy = add_random_noise(jax.random.PRNGKey(0), st, 0.1, 0.2)
     assert abs(float(jnp.std(noisy.pos)) - 0.1) < 0.02
     assert abs(float(jnp.std(noisy.vel)) - 0.2) < 0.02
+
+
+def test_logging_env_level_and_matrix_format(monkeypatch):
+    import logging as pylog
+    import numpy as np
+    from mpc_cbf_tpu.utils.logging import (
+        initialize_logging, matrix_to_string, log_matrix, log_vector,
+    )
+
+    monkeypatch.setenv("LOG_LEVEL", "debug")
+    lg = initialize_logging("t_mcbf")
+    assert lg.level == pylog.DEBUG
+    s = matrix_to_string(np.array([[1.0, 2.5], [3.0, 4.0]]))
+    assert s.splitlines() == ["1 2.5", "3 4"]
+    log_matrix(lg, "M", np.eye(2))
+    log_vector(lg, "v", np.arange(3.0))
