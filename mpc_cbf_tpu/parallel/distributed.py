@@ -66,14 +66,8 @@ def host_scenarios_to_global(mesh: Mesh, local_batch):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
 
     def to_global(x):
-        # one addressable shard per local device along the scenario axis
-        n_local = len([d for d in mesh.devices.flatten()
-                       if d.process_index == jax.process_index()])
-        parts = np.array_split(np.asarray(x), max(n_local, 1))
-        dbs = [jax.device_put(p, d)
-               for p, d in zip(parts, jax.local_devices())]
         global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-        return jax.make_array_from_single_device_arrays(
-            global_shape, sharding, dbs)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape)
 
     return jax.tree.map(to_global, local_batch)

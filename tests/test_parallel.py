@@ -92,3 +92,22 @@ def test_fov_sim_variant():
     # no collision closer than safety distance minus discretization slack
     d = np.linalg.norm(np.asarray(res.traj_pos[:, 0, :2] - res.traj_pos[:, 1, :2]), axis=-1)
     assert d.min() > 0.6, d.min()
+
+
+def test_global_mesh_and_host_scenarios():
+    """Single-process check of the multi-host helpers: scenario-major
+    global mesh + host-local batch assembly into a global sharded array."""
+    from mpc_cbf_tpu.parallel.distributed import (
+        global_mesh, host_scenarios_to_global, init_distributed,
+    )
+
+    init_distributed()  # no-op single process
+    mesh = global_mesh(agent=2)
+    assert mesh.devices.shape == (4, 2)
+
+    batch = {"pos": np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    g = host_scenarios_to_global(mesh, batch)
+    assert g["pos"].shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(g["pos"]), batch["pos"])
+    # sharded over the scenario axis of the mesh
+    assert len(g["pos"].sharding.device_set) == 8
