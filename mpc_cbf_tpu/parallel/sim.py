@@ -111,6 +111,14 @@ class MultiAgentSim:
         ctrl, op = self.controller, self.controller.op
         A = self.num_agents
 
+        # goal yaw -> closest 2pi-equivalent of the current yaw, so the
+        # reference trajectory never demands a long-way-around spin (the
+        # FoV example layer does exactly this,
+        # BezierIMPCCBFPFXYYaw_example.cpp:219-223 via convertToClosestYaw)
+        from mpc_cbf_tpu.ops.geometry import convert_to_closest_yaw
+        goals = goals.at[:, -1].set(
+            convert_to_closest_yaw(states.pos[:, -1], goals[:, -1]))
+
         if self.structured:
             blobs = self._blobs(states)
             ref = jnp.tile(goals, (1, op.mpc.k_hor))
@@ -287,6 +295,11 @@ class CBFOnlySim:
 
     def _nominal(self, states: State, goals: Array) -> Array:
         from mpc_cbf_tpu.ops.controls import critically_damped_spring_control
+        from mpc_cbf_tpu.ops.geometry import convert_to_closest_yaw
+
+        # never command a long-way-around yaw spin (convertToClosestYaw)
+        goals = goals.at[:, -1].set(
+            convert_to_closest_yaw(states.pos[:, -1], goals[:, -1]))
         return critically_damped_spring_control(states, goals, self.spring_constant)
 
     def control_step(self, states: State, goals: Array,

@@ -101,3 +101,34 @@ def test_bezier_mpc_sim_two_agents():
     assert _min_pairwise(traj) > 0.6  # Voronoi + bbox shift keeps them apart
     final_err = np.linalg.norm(traj[-1, :, :2] - sf[:, :2], axis=-1)
     assert final_err.max() < 0.3, final_err
+
+
+def test_yaw_wraparound_does_not_stall_fov():
+    """Goal yaw 2pi-equivalent but numerically far (the rotate instances
+    hit this): the sim must command the short way around
+    (convertToClosestYaw semantics) so FOV barriers don't deadlock."""
+    from mpc_cbf_tpu.controllers import (
+        BezierMPCOperator, IMPCParams, FovIMPCCBF,
+    )
+    from mpc_cbf_tpu.parallel import MultiAgentSim
+
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    cbf = FovCBF(2 * np.pi, 0.3, 20.0, jnp.asarray(mpc.v_min),
+                 jnp.asarray(mpc.v_max))
+    ctrl = FovIMPCCBF(op, cbf, IMPCParams(), 1, solver=ADMMConfig(iters=200))
+    sim = MultiAgentSim(ctrl, 2)
+    # yaw 5.5 with goal yaw 0.2: naive tracking spins -5.3 rad; closest
+    # equivalent is +0.98 rad (0.2 + 2pi = 6.48)
+    so = np.array([[0.0, 1.0, 5.5], [4.0, -1.0, 5.5]])
+    sf = np.array([[4.0, 1.0, 0.2], [0.0, -1.0, 0.2]])
+    res = sim.rollout(State(pos=jnp.asarray(so), vel=jnp.zeros((2, 3))),
+                      jnp.asarray(sf), 50)
+    traj = np.asarray(res.traj_pos)
+    # reached goals in xy AND in yaw (mod 2pi) without the long spin
+    err = np.linalg.norm(traj[-1, :, :2] - sf[:, :2], axis=-1)
+    assert err.max() < 0.4, err
+    yaw_err = np.abs((traj[-1, :, 2] - sf[:, 2] + np.pi) % (2 * np.pi) - np.pi)
+    assert yaw_err.max() < 0.3, traj[-1, :, 2]
+    # and the yaw never went below ~5.3 - margin toward the long route
+    assert traj[:, :, 2].min() > 4.0
