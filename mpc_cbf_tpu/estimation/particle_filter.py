@@ -121,6 +121,16 @@ def process_fov_update(
 
     Returns (new_state, mean, cov). Branch-free: the conditional update is
     a weight blend on `visible`.
+
+    Deliberate deviation: the reference's ``filter.update`` REPLACES the
+    weights with the pure measurement likelihood
+    (particle_filter.cpp:85-100), silently discarding the FOV
+    down-weighting applied two lines earlier when the target is visible.
+    Here the likelihood MULTIPLIES the FOV-adjusted weights (the Bayesian
+    composition); for particles clustered near a visible measurement the
+    uniform 1/weight_reduction factor cancels in normalization, so the
+    behaviors coincide except for particles straddling the FOV boundary,
+    where the multiplicative form retains strictly more information.
     """
     k1, k2 = jax.random.split(key)
     st = pf_predict(k1, st, process_cov_chol, params)
