@@ -284,3 +284,30 @@ def eval_curve(piecewise: PiecewiseBezier, coeffs, ts, derivative_degree: int = 
     )
     flat = coeffs @ E.T  # [..., len(ts)*dim]
     return flat.reshape(*flat.shape[:-1], len(ts), piecewise.dim)
+
+
+class PiecewiseCurve:
+    """A solved curve: coefficients bound to their PiecewiseBezier family —
+    the migration surface for splines::SingleParameterPiecewiseCurve
+    (curves/SingleParameterPiecewiseCurve.h:13-63: eval(t, derivative),
+    max_parameter) and splines::Bezier::maximumDerivativeMagnitude.
+    """
+
+    def __init__(self, piecewise: PiecewiseBezier, coeffs):
+        self.pw = piecewise
+        self.coeffs = coeffs
+
+    @property
+    def max_parameter(self) -> float:
+        return self.pw.max_parameter
+
+    def eval(self, t: float, derivative_degree: int = 0):
+        """f^(r)(t) -> [dim] (clamped at max_parameter like the reference
+        callers do)."""
+        t = float(np.clip(t, 0.0, self.pw.max_parameter))
+        return eval_curve(self.pw, self.coeffs, [t], derivative_degree)[..., 0, :]
+
+    def max_derivative_magnitude(self, derivative_degree: int,
+                                 step: float = 0.01):
+        return max_derivative_magnitude(self.pw, self.coeffs,
+                                        derivative_degree, step)

@@ -103,3 +103,19 @@ def test_eval_curve_jnp():
     assert out.shape == (4, 2)
     E = pw.eval_matrix(ts, 0)
     np.testing.assert_allclose(np.asarray(out).reshape(-1), E @ z, atol=1e-10)
+
+
+def test_piecewise_curve_wrapper():
+    """SingleParameterPiecewiseCurve migration surface."""
+    import jax.numpy as jnp
+    from mpc_cbf_tpu.ops.bernstein import PiecewiseBezier, PiecewiseCurve, eval_curve
+
+    pw = PiecewiseBezier(3, 4, 0.5, 3)
+    z = jnp.asarray(np.random.default_rng(5).normal(size=pw.num_decision_variables))
+    c = PiecewiseCurve(pw, z)
+    assert c.max_parameter == 1.5
+    np.testing.assert_allclose(
+        np.asarray(c.eval(0.7)), np.asarray(eval_curve(pw, z, [0.7]))[0])
+    np.testing.assert_allclose(
+        np.asarray(c.eval(99.0)), np.asarray(c.eval(1.5)))  # clamped
+    assert float(c.max_derivative_magnitude(1)) > 0
