@@ -53,7 +53,8 @@ def main(argv=None) -> int:
 
     if args.baseline_dir:
         for n in BASELINE_SIZES:
-            ns = argparse.Namespace(num_robots=n, radius=max(2.0, 0.8 * n / 2),
+            # chord spacing ~ 2R sin(pi/n): keep it >= ~1.5x the default d_min
+            ns = argparse.Namespace(num_robots=n, radius=max(2.0, n / 2.0),
                                     seed=args.seed)
             write(os.path.join(args.baseline_dir, f"{n}r", "circle.json"),
                   KINDS["circle"](ns))

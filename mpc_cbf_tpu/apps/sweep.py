@@ -34,7 +34,7 @@ def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
     from mpc_cbf_tpu.utils.metrics import instance_success
 
     sim, mpc = build_sim(cfg, controller, R, solver_iters)
-    inst = circle_rotate_instance(R, radius=max(2.0, 0.8 * R / 2))
+    inst = circle_rotate_instance(R, radius=max(2.0, R / 2.0))
     so = np.asarray(inst["tasks"]["so"])
     sf = np.asarray(inst["tasks"]["sf"])
 
