@@ -149,10 +149,17 @@ def main(argv=None) -> int:
     # states.json in the reference's schema
     out = {"dt": mpc.h, "Ts": mpc.Ts, "robots": {}}
     for i in range(R):
-        out["robots"][str(i)] = {
+        rec = {
             "states": np.concatenate([traj[:, i], vels[:, i]], axis=-1).tolist(),
             "goal": sf[i].tolist(),
         }
+        # estimator logs, reference schema (states["robots"][i]
+        # ["estimates_mean"|"estimates_cov"],
+        # BezierIMPCCBFPFXYYaw_example.cpp:204-280)
+        if hasattr(res, "est_mean"):
+            rec["estimates_mean"] = np.asarray(res.est_mean)[:, i].tolist()
+            rec["estimates_cov"] = np.asarray(res.est_cov)[:, i].tolist()
+        out["robots"][str(i)] = rec
     with open(args.out, "w") as f:
         json.dump(out, f)
 
