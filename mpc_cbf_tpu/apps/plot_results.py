@@ -29,8 +29,10 @@ def load_states(path: str):
     robots = d["robots"]
     keys = sorted(robots, key=int)
     traj = np.stack([np.asarray(robots[k]["states"])[:, :3] for k in keys], axis=1)
-    goals = np.stack([np.asarray(robots[k].get("goal", traj[-1, int(k)]))
-                      for k in keys])
+    # goal fallback indexes by enumeration position, not robot id — ids may
+    # be non-contiguous (e.g. keys "0","2") while traj columns are packed
+    goals = np.stack([np.asarray(robots[k].get("goal", traj[-1, idx]))
+                      for idx, k in enumerate(keys)])
     return traj, goals, d  # traj [T, R, 3]
 
 

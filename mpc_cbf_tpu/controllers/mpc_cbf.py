@@ -174,7 +174,11 @@ class _IMPCCBFBase:
         # produce b ~ 1e4..1e28; leaving such rows "active" with huge
         # finite bounds destroys the f32 ADMM row scaling near
         # interactions (solver failures -> frozen robots).
-        a_reach = float(np.max(np.abs(np.asarray(self.op.mpc.a_max))))
+        # reachable |u| under asymmetric bounds is max(|a_min|, |a_max|)
+        # (matches FovCBFController's u_reach; using a_max alone could prune
+        # a binding row when |a_min| > |a_max|)
+        a_reach = float(max(np.max(np.abs(np.asarray(self.op.mpc.a_max))),
+                            np.max(np.abs(np.asarray(self.op.mpc.a_min)))))
         mask = mask & (b_all <= a_l1 * a_reach)
         A_all = jnp.where(mask[..., None], A_all, 0.0)
         b_all = jnp.clip(b_all, -CBF_BOUND_CAP, CBF_BOUND_CAP)

@@ -83,8 +83,11 @@ class Scheduler:
                 continue
             self.now = ev.t
             ev.cb()
-            ev = _Event(t=ev.t + ev.period, seq=next(self._count),
-                        period=ev.period, cb=ev.cb, cancelled=ev.cancelled)
+            # re-push the SAME event object (fresh seq for heap ordering):
+            # the handle returned by create_timer stays valid, so cancel()
+            # works after any number of firings (ros::Timer::stop parity)
+            ev.t += ev.period
+            ev.seq = next(self._count)
             heapq.heappush(self._heap, ev)
         self.now = max(self.now, t_end)
 

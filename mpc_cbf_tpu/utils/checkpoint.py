@@ -2,8 +2,10 @@
 
 The reference has NO checkpointing (SURVEY §5.4: per-run JSON written only
 at process end — a crash loses everything). Here it's first-class: an
-orbax-backed snapshot of any pytree of arrays (sim State, warm starts,
-PRNG keys, step counter), with a plain-npz fallback when orbax is absent.
+atomic plain-npz snapshot of any pytree of arrays (sim State, warm
+starts, PRNG keys, step counter). npz (not orbax) on purpose: snapshots
+are a few MB of host arrays, and a single self-contained file survives
+environments where orbax/tensorstore is absent.
 
 Usage:
     ckpt = Checkpointer("/tmp/run1")
@@ -53,12 +55,20 @@ class Checkpointer:
 
     def restore(self, step: int, like: Any) -> Any:
         """Restore the pytree saved at ``step``; ``like`` supplies the
-        structure (treedef) to unflatten into."""
+        structure (treedef) to unflatten into. Fails loudly if the stored
+        structure does not match ``like`` (silent shape-mismatch restores
+        are worse than no checkpoint)."""
         with np.load(self._path(step)) as data:
             leaves = [data[f"leaf_{i}"]
                       for i in range(len([k for k in data.files
                                           if k.startswith("leaf_")]))]
+            stored = bytes(data["__treedef__"]).decode() \
+                if "__treedef__" in data.files else None
         treedef = jax.tree.structure(like)
+        if stored is not None and stored != repr(treedef):
+            raise ValueError(
+                f"checkpoint treedef mismatch at step {step}:\n"
+                f"  stored:   {stored}\n  expected: {treedef!r}")
         return jax.tree.unflatten(treedef, leaves)
 
     def restore_latest(self, like: Any) -> Tuple[Optional[int], Any]:

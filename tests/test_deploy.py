@@ -43,6 +43,34 @@ def test_scheduler_cancel():
     assert seen == []
 
 
+def test_scheduler_cancel_after_firing():
+    """cancel() must stop a periodic timer that has already fired
+    (ros::Timer::stop parity — the handle stays live across re-pushes)."""
+    s = Scheduler()
+    seen = []
+    ev = s.create_timer(0.1, lambda: seen.append(round(s.now, 3)))
+    s.run_until(0.35)
+    assert seen == [0.1, 0.2, 0.3]
+    s.cancel(ev)
+    s.run_until(2.0)
+    assert seen == [0.1, 0.2, 0.3]
+
+
+def test_scheduler_cancel_inside_callback():
+    """A timer may cancel itself from its own callback."""
+    s = Scheduler()
+    seen = []
+
+    def cb():
+        seen.append(round(s.now, 3))
+        if len(seen) == 2:
+            s.cancel(ev)
+
+    ev = s.create_timer(0.1, cb)
+    s.run_until(1.0)
+    assert seen == [0.1, 0.2]
+
+
 def test_two_robot_deployment_reaches_goals():
     """Full node graph (SITL plant + PF estimator + controller + goal/ids)
     flies two robots through takeoff -> mission and reaches the goals."""
