@@ -2,14 +2,24 @@
 
 Measures the full flagship control path — per-agent QP assembly (autodiff
 CBF rows, Voronoi rows, cost contraction) + the iterative IMPC loop
-(impc_iter batched ADMM solves) — for a large batch of independent
+(impc_iter batched solves) — for a large batch of independent
 agent-scenarios in lockstep, i.e. exactly the per-robot work of the
-reference's ``ConnectivityIMPCCBF::optimize``
-(``MPCCBFFormationControl_example.cpp:140-147``) times batch.
+reference's controllers times batch.
+
+Modes (second positional arg, default "fov"):
+  fov           FovIMPCCBF, slack_mode=true, 7 neighbors (8-robot team):
+                the reference's FLAGSHIP variant
+                (``FovBezierIMPCCBF.cpp:47-223``) — 4 CBF families x
+                cbf_horizon x 7 rows + 7 x piece-0 Voronoi rows + 7 slack
+                columns, m_d ~ 84.
+  connectivity  ConnectivityIMPCCBF, 3 neighbors (the cheapest variant;
+                kept for round-over-round comparability).
+Append "+polish" to run the f64 active-set polish after the f32 ADMM —
+the production accuracy configuration (<1e-3 control deviation vs the
+exact oracle, tests/test_polish.py).
 
 Emits ONE JSON line:
-  {"metric": "mpccbf_qp_solves_per_s", "value": N, "unit": "solves/s",
-   "vs_baseline": N / 10000}
+  {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
 (baseline = the 10k solves/s v5e-8 target in BASELINE.json; this runs on
 however many chips are visible — per-chip value is value/num_devices).
 """
@@ -23,58 +33,97 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def build(mode: str, batch: int, polish: bool):
     import jax
     import jax.numpy as jnp
 
     from mpc_cbf_tpu.types import State
-    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
     from mpc_cbf_tpu.ops.qp import ADMMConfig
-    from mpc_cbf_tpu.controllers import (
-        BezierParams, MPCParams, BezierMPCOperator, IMPCParams, ConnectivityIMPCCBF,
-    )
-
     from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+    from mpc_cbf_tpu.controllers import (
+        BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
+        ConnectivityIMPCCBF, FovIMPCCBF,
+    )
     from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
 
-    num_agents = 4          # neighbors per QP = 3
-    impc = IMPCParams()     # impc_iter = 2 QP solves per control step
-    solver_iters = 200      # f32 accuracy floor ~1e-4 (see tests/test_qp.py)
-    # default batch sized for single-chip throughput saturation (the fused
-    # Pallas ADMM keeps scaling past this; 32k x 2 solves ~ 0.14 s/step)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-
     mpc = MPCParams()
-    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
-    cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
-    ctrl = ConnectivityIMPCCBF(
-        op, cbf, impc, max_neighbors=num_agents - 1,
-        solver=ADMMConfig(iters=solver_iters),
-    )
-    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=solver_iters))
-
     rng = np.random.default_rng(0)
-    # batch of feasible agent snapshots: ego near origin, neighbors on a
-    # 2.5-4 m ring (outside d_min, mix of in/out of connectivity range)
-    pos = jnp.asarray(rng.normal(0, 0.3, (batch, 3)), jnp.float32)
-    vel = jnp.asarray(rng.normal(0, 0.5, (batch, 3)), jnp.float32)
-    goals = jnp.asarray(rng.normal(0, 3.0, (batch, 3)), jnp.float32)
-    ang = rng.uniform(0, 2 * np.pi, (batch, num_agents - 1))
-    rad = rng.uniform(2.5, 4.0, (batch, num_agents - 1))
-    nbr_pos = np.stack([rad * np.cos(ang), rad * np.sin(ang),
-                        np.zeros_like(rad)], axis=-1)
-    nbr_vel = rng.normal(0, 0.5, (batch, num_agents - 1, 3))
-    nbr = jnp.asarray(np.concatenate([nbr_pos, nbr_vel], axis=-1), jnp.float32)
-    mask = jnp.ones((batch, num_agents - 1), bool)
+    f32 = jnp.float32
+    solver_iters = 200
 
-    @jax.jit
-    def control_batch(pos, vel, goals, nbr):
+    if mode == "fov":
+        num_agents = 8      # reference flagship team size (ScaleScript.sh)
+        N = num_agents - 1
+        impc = IMPCParams(slack_mode=True)   # FovBezierIMPCCBF always slacks
+        op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+        beta = 120.0 * np.pi / 180.0
+        cbf = FovCBF(beta, 0.3, 4.0, jnp.asarray(mpc.v_min),
+                     jnp.asarray(mpc.v_max))
+        ctrl = FovIMPCCBF(op, cbf, impc, N,
+                          box_half_extents=np.array([10.0, 10.0, np.pi]),
+                          solver=ADMMConfig(iters=solver_iters))
+        # neighbor blob [N, 5]: xy + cov(0,0), cov(0,1), cov(1,1)
+        ang = rng.uniform(0, 2 * np.pi, (batch, N))
+        rad = rng.uniform(1.0, 3.5, (batch, N))
+        cov = np.broadcast_to(np.array([0.05, 0.0, 0.05]), (batch, N, 3))
+        nbr = np.concatenate([
+            (rad * np.cos(ang))[..., None], (rad * np.sin(ang))[..., None],
+            cov], axis=-1)
+    else:
+        num_agents = 4
+        N = num_agents - 1
+        impc = IMPCParams()
+        op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+        cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(mpc.v_min),
+                              jnp.asarray(mpc.v_max))
+        ctrl = ConnectivityIMPCCBF(op, cbf, impc, N,
+                                   solver=ADMMConfig(iters=solver_iters))
+        ang = rng.uniform(0, 2 * np.pi, (batch, N))
+        rad = rng.uniform(2.5, 4.0, (batch, N))
+        nbr_pos = np.stack([rad * np.cos(ang), rad * np.sin(ang),
+                            np.zeros_like(rad)], axis=-1)
+        nbr_vel = rng.normal(0, 0.5, (batch, N, 3))
+        nbr = np.concatenate([nbr_pos, nbr_vel], axis=-1)
+
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=solver_iters,
+                                                  polish=polish))
+
+    pos = jnp.asarray(rng.normal(0, 0.3, (batch, 3)), f32)
+    vel = jnp.asarray(rng.normal(0, 0.5, (batch, 3)), f32)
+    goals = jnp.asarray(rng.normal(0, 3.0, (batch, 3)), f32)
+    nbr = jnp.asarray(nbr, f32)
+    mask = jnp.ones((batch, N), bool)
+
+    def control_batch():
         ref = jnp.tile(goals[:, None, :], (1, mpc.k_hor, 1)).reshape(batch, -1)
         res = simpc.optimize_batch(State(pos=pos, vel=vel), ref, nbr, mask)
         return res.coeffs, res.success
 
+    return control_batch, impc.impc_iter
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    spec = sys.argv[2] if len(sys.argv) > 2 else "fov"
+    mode, _, pol = spec.partition("+")
+    polish = pol == "polish"
+
+    import jax
+    if polish:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    if batch is None:
+        # fov lanes carry ~10x the per-lane state of connectivity lanes
+        # (m_d ~ 84 vs 6); keep HBM-resident Woodbury blocks well inside a
+        # single chip
+        batch = 8192 if mode == "fov" else 32768
+
+    control_batch, impc_iter = build(mode, batch, polish)
+
     def run_once():
-        out = control_batch(pos, vel, goals, nbr)
+        out = control_batch()
         # force a host scalar readback: block_until_ready alone does not
         # actually wait for remote execution through the axon tunnel
         float(jnp.sum(out[0]))
@@ -87,10 +136,11 @@ def main() -> None:
         run_once()
     dt = (time.perf_counter() - t0) / reps
 
-    qp_solves = batch * impc.impc_iter
+    qp_solves = batch * impc_iter
     solves_per_s = qp_solves / dt
+    name = f"mpccbf_{mode}_qp_solves_per_s" + ("_polished" if polish else "")
     print(json.dumps({
-        "metric": "mpccbf_qp_solves_per_s",
+        "metric": name,
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 10000.0, 3),

@@ -554,7 +554,11 @@ class StructuredIMPC:
                 lambda cur_p, cur_v, blob, mask, pr: ctrl.dynamic_rows(
                     State(pos=cur_p, vel=cur_v), blob, mask, pr, active)
             )(current.pos, current.vel, neighbor_blob, neighbor_mask, pred)
-            sol = self.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
+            if self.cfg.polish:
+                sol = self.op_qp.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d,
+                                                x0=x0)
+            else:
+                sol = self.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
             coeffs = sol.z[:, : op.n_dec]
             x0 = sol.z
             finite = jnp.all(jnp.isfinite(sol.z), axis=-1)

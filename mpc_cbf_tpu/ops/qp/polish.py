@@ -93,10 +93,12 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
     rn = jnp.concatenate([jnp.broadcast_to(rn_s, (B, m_s)), rn_d], axis=1)
     rn1 = jnp.maximum(rn, 1e-12)
 
-    # bound scale per row: violations are judged relative to this
+    # bound scale per row: violations are judged relative to this. An
+    # infinite (BIG) side must NOT inflate the scale — a one-sided row
+    # would otherwise tolerate absolute violations of bscale*tol
     bscale = jnp.maximum(
-        1.0, jnp.maximum(jnp.abs(jnp.clip(lb, -1.0 / cfg.viol_tol, None)),
-                         jnp.abs(jnp.clip(ub, None, 1.0 / cfg.viol_tol))))
+        1.0, jnp.maximum(jnp.where(lb > -BIG / 2, jnp.abs(lb), 0.0),
+                         jnp.where(ub < BIG / 2, jnp.abs(ub), 0.0)))
     eq = (ub - lb) <= 1e-9 * bscale                      # [B, m]
     masked = (lb <= -BIG / 2) & (ub >= BIG / 2)          # padding rows
 
@@ -183,7 +185,11 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
         v_lo = (lb - Axn) / bscale                       # >0: lb violated
         v_hi = (Axn - ub) / bscale
         viol_amt = jnp.maximum(v_lo, v_hi)
-        wrongness = jnp.where(side_hi, -y_g, y_g)        # <0 => wrong sign
+        # KKT convention Px + q + G'y = 0: a row pinned at its UPPER bound
+        # has y >= 0 at the optimum (y = lambda of a.x <= ub), a row pinned
+        # at its LOWER bound has y <= 0 — same convention as the y_ls
+        # certification check below
+        wrongness = jnp.where(side_hi, y_g, -y_g)        # <0 => wrong sign
         wrongness = jnp.where(pin & ~eq_g & fin[:, None], wrongness, jnp.inf)
 
         if mass:

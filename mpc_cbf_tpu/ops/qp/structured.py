@@ -59,6 +59,11 @@ class StructuredConfig:
     # the measured throughput optimum (2048 overflows VMEM on v5e)
     pallas_block: int = 1024
     pallas_interpret: bool = False
+    # f64 active-set polish after the ADMM iterations (ops/qp/polish.py):
+    # certifies each lane to f64 optimality (<1e-3 control-deviation bar met
+    # from an f32 ADMM entry); lanes that fail certification keep their
+    # ADMM iterate. Requires jax_enable_x64.
+    polish: bool = False
 
 
 class StructuredSolution(NamedTuple):
@@ -104,6 +109,11 @@ class StructuredQPOperator:
         gamma = 1.0 / max(np.abs(P64).max(axis=0).mean(), q_hint_scaled, 1e-12)
         P64 *= gamma
 
+        # unscaled copies for the f64 polish (it re-equilibrates internally)
+        self._P0 = np.asarray(P, np.float64)
+        self._A_s0 = np.asarray(A_s, np.float64)
+        self._n_eq = int(np.sum(eq_mask_s))
+
         rho_s = np.where(eq_mask_s, cfg.rho * cfg.rho_eq_scale, cfg.rho)
         M_s = P64 + cfg.sigma * np.eye(n) + (A64.T * rho_s) @ A64
         Ms_inv = np.linalg.inv(M_s)
@@ -128,6 +138,33 @@ class StructuredQPOperator:
         """
         with jax.default_matmul_precision("highest"):
             return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0)
+
+    def solve_polished(self, q: Array, lb_s: Array, ub_s: Array,
+                       A_d: Array, lb_d: Array, ub_d: Array,
+                       x0: Optional[Array] = None,
+                       polish_cfg=None) -> StructuredSolution:
+        """ADMM entry (any dtype, f32 in production) + f64 active-set polish.
+
+        Each lane is either certified to f64 optimality (converged=True,
+        pri_res = its exact relative violation) or falls back to its ADMM
+        iterate with the ADMM residual/convergence flags. This is the
+        production path matching the reference's exact-CPLEX semantics
+        (qpcpp/src/solvers/CPLEX.cpp:35-178) at TPU throughput.
+        """
+        from mpc_cbf_tpu.ops.qp.polish import polish_structured, PolishConfig
+
+        sol = self.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
+        res = polish_structured(
+            self._P0, self._A_s0, q, lb_s, ub_s, A_d, lb_d, ub_d, sol.z,
+            polish_cfg if polish_cfg is not None else PolishConfig(),
+            max_eq=self._n_eq)
+        z = jnp.where(res.ok[:, None], res.z, sol.z.astype(res.z.dtype))
+        return StructuredSolution(
+            z=z.astype(sol.z.dtype),
+            pri_res=jnp.where(res.ok, res.viol.astype(sol.pri_res.dtype),
+                              sol.pri_res),
+            converged=sol.converged | res.ok,
+        )
 
     def _solve(self, q: Array, lb_s: Array, ub_s: Array,
                A_d: Array, lb_d: Array, ub_d: Array,
@@ -204,9 +241,14 @@ class StructuredQPOperator:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             # any real-TPU backend (incl. the remote 'axon' plugin); the
-            # fused kernel needs f32 state
+            # fused kernel needs f32 state. The kernel's per-lane Cholesky
+            # substitutions are an O(m_d^2) unroll — past ~32 dynamic rows
+            # (the FoV flagship has m_d ~ 84) the body bloats and VMEM
+            # blocks shrink below MXU-efficient widths, so the XLA scan
+            # path (whose per-iteration einsums stay large and batched)
+            # wins there.
             use_pallas = (jax.default_backend() not in ("cpu", "gpu")
-                          and dt == jnp.float32)
+                          and dt == jnp.float32 and self.m_d <= 32)
         if use_pallas:
             from mpc_cbf_tpu.ops.qp.pallas_admm import structured_admm_iterations
 

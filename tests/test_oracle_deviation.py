@@ -99,16 +99,16 @@ def test_structured_control_deviation_vs_oracle():
 
 
 def test_f32_production_deviation():
-    """The f32 production configuration floors at ~1e-1 worst-case control
-    deviation (the flagship P spans 15 orders of magnitude; measured floor
-    is iteration-independent from 200 to 1600 iters). Measured root cause:
-    f32 cannot RESOLVE THE ACTIVE SET on the worst lanes (~4% of binding
-    rows misidentified vs the oracle), and an exact f64 polish against the
-    f32-identified active set reproduces the same deviation — so no amount
-    of f32 iteration or polishing moves the floor. The <1e-3 BASELINE bar
-    is owned by the f64 accuracy configuration (tests above), which runs on
-    TPU too; f32 trades ~2% of the 5 m/s^2 accel range for 6.5x throughput,
-    with closed-loop safety/goal metrics unaffected (see test_mpc sims)."""
+    """The RAW f32 ADMM floors at ~1e-1 worst-case control deviation (the
+    flagship P spans 15 orders of magnitude; measured floor is
+    iteration-independent from 200 to 1600 iters): f32 cannot pin down the
+    optimum once the active set stops changing. The production path closes
+    the gap with the f64 active-set polish — a fixed KKT re-solve with
+    working-set updates from the f32 point (ops/qp/polish.py), which
+    certifies <1e-3 (measured ~4e-7) on this exact seed: see
+    tests/test_polish.py. This test pins the raw-f32 floor so a regression
+    in the ADMM entry (which the polish depends on for its initial working
+    set) is caught independently."""
     B = 8
     ctrl, op, qp, _ = _flagship_qps(B, seed=3)
     x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in

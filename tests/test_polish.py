@@ -1,0 +1,122 @@
+"""f64 active-set polish: the production f32 path hits the <1e-3 bar.
+
+BASELINE.json accuracy bar: max control deviation < 1e-3 vs the exact
+solver. The reference meets it by solving every QP exactly with CPLEX
+(``qpcpp/src/solvers/CPLEX.cpp:35-178``). The TPU production path meets it
+with the fused f32 Pallas ADMM followed by the f64 active-set polish
+(ops/qp/polish.py) — f32 identifies the active set to within a handful of
+rows, and a few exact f64 KKT solves with working-set updates finish the
+job. These tests enter in FLOAT32 (the production dtype) and assert the
+polished output against the native exact IPM oracle.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_cbf_tpu.types import State
+from mpc_cbf_tpu.ops.qp import ADMMConfig, solve_batch
+from mpc_cbf_tpu.ops.qp.oracle import solve_oracle_batch
+from mpc_cbf_tpu.ops.qp.polish import polish_dense, polish_structured, PolishConfig
+from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
+from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
+
+from test_oracle_deviation import _flagship_qps, MPC
+
+
+def test_polish_dense_f32_entry_meets_accuracy_bar():
+    """f32 ADMM (200 iters) + polish < 1e-3 vs oracle — the production
+    accuracy claim, on the same seed that exhibits the ~1e-1 f32 floor."""
+    B = 32
+    ctrl, op, qp, _ = _flagship_qps(B, seed=3)
+    x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                         (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+    assert (status == 0).all()
+
+    qp32 = jax.tree.map(lambda a: a.astype(jnp.float32), qp)
+    sol = solve_batch(qp32, ADMMConfig(iters=200))
+    res = polish_dense(qp32, sol.z)
+
+    assert bool(np.all(np.asarray(res.ok))), (
+        f"uncertified lanes: {np.nonzero(~np.asarray(res.ok))[0]}")
+    U = np.asarray(op.U_basis)
+    u_ref = x_ref[:, :36] @ U.T
+    dev = np.abs(np.asarray(res.z[:, :36]) @ U.T - u_ref).max()
+    assert dev < 1e-3, f"polished f32-entry control deviation: {dev}"
+    # certified lanes are feasible and stationary to f64 tolerance
+    assert float(np.max(np.asarray(res.viol))) < 1e-6
+    assert float(np.max(np.asarray(res.stat))) < 1e-6
+
+
+def test_polish_structured_production_path():
+    """StructuredIMPC with polish=True, f32 inputs: full production path
+    (assembly + Woodbury ADMM + polish) < 1e-3 vs oracle."""
+    B = 8
+    ctrl, op, qp, (pos, vel, refs, blobs, mask) = _flagship_qps(B, seed=3)
+    x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                         (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+    assert (status == 0).all()
+
+    f32 = jnp.float32
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=200, polish=True))
+    st32 = State(pos=pos.astype(f32), vel=vel.astype(f32))
+    lb_s, ub_s = jax.vmap(ctrl.shared_bounds)(st32)
+    x_now = jnp.concatenate([st32.pos, st32.vel], -1)
+    pred0 = jnp.broadcast_to(x_now[:, None, :], (B, 2, 6)).astype(f32)
+    active0 = jnp.arange(2) == 0
+    A_d, lb_d, ub_d = jax.vmap(
+        lambda p, v, nb, mk, pr: ctrl.dynamic_rows(
+            State(pos=p, vel=v), nb, mk, pr, active0)
+    )(st32.pos, st32.vel, blobs.astype(f32), mask, pred0)
+    q = jax.vmap(op.linear_cost)(x_now, refs.astype(f32))
+
+    sol = simpc.op_qp.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d)
+    assert bool(np.all(np.asarray(sol.converged)))
+    U = np.asarray(op.U_basis)
+    u_ref = x_ref[:, :36] @ U.T
+    dev = np.abs(np.asarray(sol.z[:, :36], np.float64) @ U.T - u_ref).max()
+    assert dev < 1e-3, f"structured polished f32 deviation: {dev}"
+
+
+def test_polish_fallback_on_uncertifiable_lane():
+    """A lane whose constraints are infeasible cannot certify: polish must
+    return ok=False and hand back the entry point unchanged."""
+    n = 4
+    P = jnp.eye(n, dtype=jnp.float64)
+    q = jnp.zeros((1, n))
+    # x0 >= 1 and x0 <= -1 simultaneously: infeasible
+    A = jnp.zeros((1, 2, n)).at[:, 0, 0].set(1.0).at[:, 1, 0].set(1.0)
+    lb = jnp.asarray([[1.0, -1e20]])
+    ub = jnp.asarray([[1e20, -1.0]])
+    from mpc_cbf_tpu.types import QPBatch
+    qp = QPBatch(P=P, q=q, A=A, lb=lb, ub=ub)
+    x0 = jnp.asarray([[0.3, 0.0, 0.0, 0.0]])
+    res = polish_dense(qp, x0, PolishConfig(mass_rounds=2, rounds=3))
+    assert not bool(res.ok[0])
+    np.testing.assert_allclose(np.asarray(res.z), np.asarray(x0))
+
+
+def test_polish_structured_matches_dense():
+    """polish_structured on the shared/dynamic split agrees with
+    polish_dense on the equivalent dense stack."""
+    B = 8
+    ctrl, op, qp, (pos, vel, refs, blobs, mask) = _flagship_qps(B, seed=5)
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=300))
+    lb_s, ub_s = jax.vmap(ctrl.shared_bounds)(State(pos=pos, vel=vel))
+    x_now = jnp.concatenate([pos, vel], -1)
+    pred0 = jnp.broadcast_to(x_now[:, None, :], (B, 2, 6))
+    active0 = jnp.arange(2) == 0
+    A_d, lb_d, ub_d = jax.vmap(
+        lambda p, v, nb, mk, pr: ctrl.dynamic_rows(
+            State(pos=p, vel=v), nb, mk, pr, active0)
+    )(pos, vel, blobs, mask, pred0)
+    q = jax.vmap(op.linear_cost)(x_now, refs)
+    entry = simpc.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d)
+
+    opq = simpc.op_qp
+    res_s = polish_structured(opq._P0, opq._A_s0, q, lb_s, ub_s,
+                              A_d, lb_d, ub_d, entry.z, max_eq=opq._n_eq)
+    res_d = polish_dense(qp, entry.z, max_eq=opq._n_eq)
+    assert bool(np.all(np.asarray(res_s.ok)))
+    assert bool(np.all(np.asarray(res_d.ok)))
+    np.testing.assert_allclose(np.asarray(res_s.z), np.asarray(res_d.z),
+                               atol=1e-7)
