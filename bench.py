@@ -15,8 +15,11 @@ Modes (second positional arg, default "fov"):
   connectivity  ConnectivityIMPCCBF, 3 neighbors (the cheapest variant;
                 kept for round-over-round comparability).
 Append "+polish" to run the f64 active-set polish after the f32 ADMM —
-the production accuracy configuration (<1e-3 control deviation vs the
-exact oracle, tests/test_polish.py).
+the certified-accuracy configuration for the connectivity variant
+(<1e-3 control deviation vs the exact oracle, tests/test_polish.py).
+Append "+ipm" to solve with the f64 batched Mehrotra IPM — the
+certified-accuracy configuration for the fov flagship (every lane to
+~1e-8 typical deviation, tests/test_ipm.py).
 
 Emits ONE JSON line:
   {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
@@ -33,13 +36,15 @@ import time
 import numpy as np
 
 
-def build(mode: str, batch: int, polish: bool):
+def build(mode: str, batch: int, accuracy: str = ""):
+    """accuracy: "" (raw f32 ADMM), "polish" (+f64 active-set polish),
+    or "ipm" (f64 Mehrotra IPM instead of ADMM)."""
     import jax
     import jax.numpy as jnp
 
     from mpc_cbf_tpu.types import State
     from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
-    from mpc_cbf_tpu.ops.qp import ADMMConfig
+    from mpc_cbf_tpu.ops.qp import ADMMConfig, IPMConfig
     from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
     from mpc_cbf_tpu.controllers import (
         BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
@@ -57,11 +62,14 @@ def build(mode: str, batch: int, polish: bool):
         N = num_agents - 1
         impc = IMPCParams(slack_mode=True)   # FovBezierIMPCCBF always slacks
         op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+        # reference fov_cbf_params (base_config.json: beta=120deg, Ds=0.3,
+        # Rs=6.0) and robot collision box aligned_box=[0.2,0.2,0] (half
+        # extents [0.1,0.1,0] shift the Voronoi hyperplanes)
         beta = 120.0 * np.pi / 180.0
-        cbf = FovCBF(beta, 0.3, 4.0, jnp.asarray(mpc.v_min),
+        cbf = FovCBF(beta, 0.3, 6.0, jnp.asarray(mpc.v_min),
                      jnp.asarray(mpc.v_max))
         ctrl = FovIMPCCBF(op, cbf, impc, N,
-                          box_half_extents=np.array([10.0, 10.0, np.pi]),
+                          box_half_extents=np.array([0.1, 0.1, 0.0]),
                           solver=ADMMConfig(iters=solver_iters))
         # neighbor blob [N, 5]: xy + cov(0,0), cov(0,1), cov(1,1)
         ang = rng.uniform(0, 2 * np.pi, (batch, N))
@@ -86,8 +94,11 @@ def build(mode: str, batch: int, polish: bool):
         nbr_vel = rng.normal(0, 0.5, (batch, N, 3))
         nbr = np.concatenate([nbr_pos, nbr_vel], axis=-1)
 
-    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=solver_iters,
-                                                  polish=polish))
+    if accuracy == "ipm":
+        simpc = StructuredIMPC(ctrl, IPMConfig())
+    else:
+        simpc = StructuredIMPC(ctrl, StructuredConfig(
+            iters=solver_iters, polish=(accuracy == "polish")))
 
     pos = jnp.asarray(rng.normal(0, 0.3, (batch, 3)), f32)
     vel = jnp.asarray(rng.normal(0, 0.5, (batch, 3)), f32)
@@ -95,6 +106,12 @@ def build(mode: str, batch: int, polish: bool):
     nbr = jnp.asarray(nbr, f32)
     mask = jnp.ones((batch, N), bool)
 
+    # jit the WHOLE call (assembly + IMPC solves): without this the
+    # vmapped QP assembly dispatches eagerly op-by-op inside the timed
+    # region — through the remote axon backend that adds per-op roundtrip
+    # overhead. polish_structured's x64 check raises at TRACE time, so the
+    # polish path jits too.
+    @jax.jit
     def control_batch():
         ref = jnp.tile(goals[:, None, :], (1, mpc.k_hor, 1)).reshape(batch, -1)
         res = simpc.optimize_batch(State(pos=pos, vel=vel), ref, nbr, mask)
@@ -106,11 +123,10 @@ def build(mode: str, batch: int, polish: bool):
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else None
     spec = sys.argv[2] if len(sys.argv) > 2 else "fov"
-    mode, _, pol = spec.partition("+")
-    polish = pol == "polish"
+    mode, _, accuracy = spec.partition("+")
 
     import jax
-    if polish:
+    if accuracy in ("polish", "ipm"):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -120,7 +136,7 @@ def main() -> None:
         # single chip
         batch = 8192 if mode == "fov" else 32768
 
-    control_batch, impc_iter = build(mode, batch, polish)
+    control_batch, impc_iter = build(mode, batch, accuracy)
 
     def run_once():
         out = control_batch()
@@ -138,7 +154,7 @@ def main() -> None:
 
     qp_solves = batch * impc_iter
     solves_per_s = qp_solves / dt
-    name = f"mpccbf_{mode}_qp_solves_per_s" + ("_polished" if polish else "")
+    name = f"mpccbf_{mode}_qp_solves_per_s" + (f"_{accuracy}" if accuracy else "")
     print(json.dumps({
         "metric": name,
         "value": round(solves_per_s, 1),

@@ -45,7 +45,7 @@ def _fov_cbf(cfg: dict, mpc):
 
 
 def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
-              use_pf: bool = False):
+              use_pf: bool = False, enable_connectivity: bool = False):
     from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
     from mpc_cbf_tpu.ops.qp import ADMMConfig
     from mpc_cbf_tpu.controllers import (
@@ -70,7 +70,8 @@ def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
             d_min, d_max = cfgmod.parse_cbf_distances(cfg)
             cbf = ConnectivityCBF(d_min, d_max, jnp.asarray(mpc.v_min),
                                   jnp.asarray(mpc.v_max))
-            ctrl = ConnectivityIMPCCBF(op, cbf, impc, num_robots - 1, solver=solver)
+            ctrl = ConnectivityIMPCCBF(op, cbf, impc, num_robots - 1, solver=solver,
+                                       enable_connectivity=enable_connectivity)
         elif controller == "fov":
             ctrl = FovIMPCCBF(op, _fov_cbf(cfg, mpc), impc, num_robots - 1,
                               box_half_extents=half, solver=solver)
@@ -118,6 +119,10 @@ def main(argv=None) -> int:
                         "particle filters (FOV negative-information update)")
     p.add_argument("--sim-runtime", type=float, default=6.0)
     p.add_argument("--solver-iters", type=int, default=200)
+    p.add_argument("--enable-connectivity", action="store_true",
+                   help="turn on the MPC-level lambda2/CLF constraint family "
+                        "(the block the reference ships commented out, "
+                        "ConnectivityIMPCCBF.cpp:144-157)")
     p.add_argument("--out", default="states.json")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
@@ -133,7 +138,8 @@ def main(argv=None) -> int:
     cfg = cfgmod.load_config(args.base, args.task)
     so, sf = cfgmod.parse_tasks(cfg)
     R = so.shape[0]
-    sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters, use_pf=args.pf)
+    sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters, use_pf=args.pf,
+                         enable_connectivity=args.enable_connectivity)
 
     steps = int(round(args.sim_runtime / mpc.h))
     init = State(pos=jnp.asarray(so, jnp.float32), vel=jnp.zeros((R, 3), jnp.float32))

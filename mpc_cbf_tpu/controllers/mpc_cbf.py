@@ -124,9 +124,12 @@ class _IMPCCBFBase:
     def _neighbor_distance(self, current_pos: Array, neighbor_blob: Array) -> Array:
         raise NotImplementedError
 
-    def _extra_rows(self, current: State, neighbor_blob: Array, neighbor_mask: Array):
-        """Optional variant-specific rows (e.g. Voronoi); returns list of
-        (A, lb, ub) over the full n columns or None."""
+    def _extra_rows(self, current: State, neighbor_blob: Array, neighbor_mask: Array,
+                    pred_states: Array, active_k: Array):
+        """Optional variant-specific rows (e.g. Voronoi hyperplanes, the
+        λ₂-connectivity/CLF family); returns list of (A, lb, ub) over the
+        full n columns or None. pred_states [H, 6] / active_k [H] carry
+        the horizon context for Pred-variant rows."""
         return None
 
     # -- assembly ------------------------------------------------------------
@@ -181,6 +184,18 @@ class _IMPCCBFBase:
                             np.max(np.abs(np.asarray(self.op.mpc.a_min)))))
         mask = mask & (b_all <= a_l1 * a_reach)
         A_all = jnp.where(mask[..., None], A_all, 0.0)
+        # Symmetric lower cap at the same reachability threshold: a row
+        # with b < -|a|_1*a_reach is unsatisfiable by ANY control, so (on
+        # slack-relaxed rows) it is tight at the optimum and its control
+        # gradient is w*a regardless of how negative b is — capping at the
+        # threshold (x2 margin) changes only the slack variable's value,
+        # never the optimal control. Without the cap the alpha
+        # compositions push b to -1e6..-1e28 (strongly violated FOV
+        # barriers) and the slack columns must span 7 orders of magnitude
+        # against the ~1e-1 trajectory variables, which floors the f32
+        # solver near pri_res ~ 1 (unusable). On slack-less variants the
+        # capped row is still infeasible, still tripping the failure path.
+        b_all = jnp.maximum(b_all, -2.0 * a_l1 * a_reach)
         b_all = jnp.clip(b_all, -CBF_BOUND_CAP, CBF_BOUND_CAP)
         ub_all = jnp.where(mask, b_all, BIG)
         slack_idx = jnp.broadcast_to(jnp.arange(N)[None, :, None], (H, N, F))
@@ -229,7 +244,8 @@ class _IMPCCBFBase:
             (self._widen(A_bd), lb_bd, ub_bd),
             (self._widen(A_cbf, slack_idx, cbf_mask), jnp.full(self.m_cbf, -BIG, dt), ub_cbf),
         ]
-        extra = self._extra_rows(current, neighbor_blob, neighbor_mask)
+        extra = self._extra_rows(current, neighbor_blob, neighbor_mask,
+                                 pred_states, active_k)
         if extra:
             blocks.extend(extra)
         if S:
@@ -293,7 +309,8 @@ class _IMPCCBFBase:
         A = self._widen(A_cbf, slack_idx, cbf_mask)
         lb = jnp.full(self.m_cbf, -BIG, dt)
         ub = ub_cbf
-        extra = self._extra_rows(current, neighbor_blob, neighbor_mask)
+        extra = self._extra_rows(current, neighbor_blob, neighbor_mask,
+                                 pred_states, active_k)
         if extra:
             for (Ae, lbe, ube) in extra:
                 A = jnp.concatenate([A, Ae], axis=0)
@@ -407,7 +424,8 @@ class FovIMPCCBF(_IMPCCBFBase):
         cov = jnp.array([[nbr[2], nbr[3]], [nbr[3], nbr[4]]])
         return distance_to_ellipse(current_pos[:2], nbr[:2], cov)
 
-    def _extra_rows(self, current, neighbor_blob, neighbor_mask):
+    def _extra_rows(self, current, neighbor_blob, neighbor_mask,
+                    pred_states, active_k):
         other_pos = jnp.concatenate(
             [neighbor_blob[:, :2], jnp.zeros((self.N, self.op.dim - 2),
                                              neighbor_blob.dtype)], axis=-1
@@ -448,7 +466,8 @@ class BezierMPCCBF(FovIMPCCBF):
     def _neighbor_distance(self, current_pos, nbr):
         return jnp.linalg.norm(nbr[:2] - current_pos[:2])
 
-    def _extra_rows(self, current, neighbor_blob, neighbor_mask):
+    def _extra_rows(self, current, neighbor_blob, neighbor_mask,
+                    pred_states, active_k):
         return None
 
     def derivative_control_inputs(self, coeffs: Array, derivative_degree: int) -> Array:
@@ -474,10 +493,22 @@ class ConnectivityIMPCCBF(_IMPCCBFBase):
     num_families = 1
     continuity_inclusive = True
 
+    #: λ₂ > threshold -> single connectivity CBF row, else pairwise CLF
+    #: rows (ConnectivityControl.cpp:70-72; the MPC-level block at
+    #: ConnectivityIMPCCBF.cpp:144-157 is commented out in the reference —
+    #: enable_connectivity=True turns on the constraint family it intended)
+    LAMBDA2_THRESHOLD = 0.1
+
     def __init__(self, op: BezierMPCOperator, cbf: ConnectivityCBF, impc: IMPCParams,
-                 max_neighbors: int, solver: ADMMConfig = ADMMConfig(iters=150)):
+                 max_neighbors: int, solver: ADMMConfig = ADMMConfig(iters=150),
+                 enable_connectivity: bool = False):
         super().__init__(op, impc, max_neighbors, solver)
         self.cbf = cbf
+        self.enable_connectivity = enable_connectivity
+        if enable_connectivity:
+            # per horizon step: 1 λ₂ row + N CLF rows (exactly one family
+            # active per step, branch-masked — fixed shapes)
+            self.m_extra = impc.cbf_horizon * (1 + max_neighbors)
 
     def _cbf_rows_at(self, x, nbr):
         a, b = self.cbf.safety_row(x, nbr)
@@ -485,6 +516,69 @@ class ConnectivityIMPCCBF(_IMPCCBFBase):
 
     def _neighbor_distance(self, current_pos, nbr):
         return jnp.linalg.norm(nbr[:2] - current_pos[:2])
+
+    def _extra_rows(self, current, neighbor_blob, neighbor_mask,
+                    pred_states, active_k):
+        """λ₂-connectivity / CLF rows lifted through U_basis
+        (ConnectivityMPCCBFQPOperations.cpp:45-87 + the pred variants
+        :112-171): λ₂, eigvec and h = λ₂ − ε come from the CURRENT team;
+        per horizon step k the ego row of the team is replaced by the
+        predicted state, rows are applied at step k via U_basis, and ub is
+        b (connectivity) / −b (CLF). Exactly one family is active per step
+        by the λ₂ branch. No slack coupling (the reference passes a
+        constant slack_value = 0).
+
+        DELIBERATE sign deviation: the reference's clfConstraint
+        (``ConnectivityMPCCBFQPOperations.cpp:75-87``) emits −(a·u) ≤ −b,
+        but V̈ + β₁V̇ + β₂V ≤ 0 requires +(a·u) ≤ −b — the form its OWN
+        live CBF-only generator uses (``ConnectivityQPGenerator.cpp:47-55``).
+        The MPC-level block is commented out in the reference and never
+        ran; mirroring its sign drives robots AWAY from d_desired
+        (measured: end positions ±14 m on a ±5 m-goal rollout). We emit
+        the correct sign. Masked neighbors are deflated out of
+        λ₂ (see ConnectivityCBF.lambda2) and their eigvec entries set to
+        the ego's so their gradient terms vanish identically."""
+        if not self.enable_connectivity:
+            return None
+        op, cbf = self.op, self.cbf
+        H, N = self.impc.cbf_horizon, self.N
+        dt = pred_states.dtype
+        U = jnp.asarray(op.U_basis, dt)
+
+        x_now = current.stacked
+        team_now = jnp.concatenate([x_now[None], neighbor_blob])   # [N+1, 6]
+        node_mask = jnp.concatenate([jnp.ones(1, bool), neighbor_mask])
+        lam2, eigvec = cbf.lambda2(team_now[:, :2], node_mask)
+        h_val = lam2 - cbf.epsilon
+        use_conn = lam2 > self.LAMBDA2_THRESHOLD
+        eigvec = jnp.where(node_mask, eigvec, eigvec[0])
+
+        def rows_at(k, x_k):
+            blk = jax.lax.dynamic_slice_in_dim(U, k * op.dim, op.dim, axis=0)
+            team_k = team_now.at[0].set(x_k)
+            a_c, b_c = cbf.conn_row(x_k, team_k, eigvec, h_val, 0)
+            row_c = -(a_c @ blk)
+
+            def clf(nbr):
+                a, b = cbf.clf_row(x_k, nbr)
+                return (a @ blk), -b
+
+            A_clf, b_clf = jax.vmap(clf)(neighbor_blob)             # [N, n_dec]
+            return row_c, b_c, A_clf, b_clf
+
+        row_c, b_c, A_clf, b_clf = jax.vmap(rows_at)(jnp.arange(H), pred_states)
+        conn_on = active_k & use_conn                               # [H]
+        clf_on = (active_k & ~use_conn)[:, None] & neighbor_mask[None, :]
+        b_c = jnp.clip(b_c, -CBF_BOUND_CAP, CBF_BOUND_CAP)
+        b_clf = jnp.clip(b_clf, -CBF_BOUND_CAP, CBF_BOUND_CAP)
+        A = jnp.concatenate([
+            jnp.where(conn_on[:, None], row_c, 0.0),                # [H, n_dec]
+            jnp.where(clf_on[..., None], A_clf, 0.0).reshape(H * N, -1),
+        ])
+        ub = jnp.concatenate([jnp.where(conn_on, b_c, BIG),
+                              jnp.where(clf_on, b_clf, BIG).reshape(H * N)])
+        lb = jnp.full(A.shape[0], -BIG, dt)
+        return [(self._widen(A), lb, ub)]
 
 
 class StructuredIMPC:
@@ -497,14 +591,39 @@ class StructuredIMPC:
     """
 
     def __init__(self, ctrl: _IMPCCBFBase, cfg=None):
+        """cfg: StructuredConfig (f32 ADMM, the throughput path — optionally
+        +polish) or IPMConfig (f64 Mehrotra IPM, the certified-accuracy
+        path replacing CPLEX, ops/qp/ipm.py)."""
         from mpc_cbf_tpu.ops.qp.structured import StructuredConfig, StructuredQPOperator
+        from mpc_cbf_tpu.ops.qp.ipm import IPMConfig, StructuredIPM
 
         self.ctrl = ctrl
         self.cfg = cfg if cfg is not None else StructuredConfig(iters=ctrl.solver.iters)
         P, A_s, eq_mask = ctrl.static_parts()
+        if isinstance(self.cfg, IPMConfig):
+            self.op_qp = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
+            return
         q_hint = ctrl.impc.slack_cost if ctrl.impc.slack_mode else 0.0
+        # slack nonnegativity rows sit LAST in A_s (static_parts); the
+        # polish pre-pins them so its KKT solves stay bounded in the
+        # zero-curvature slack coordinates. Each guard GROUP lists every
+        # row touching slack j — its nonneg row plus its CBF rows (layout
+        # [H, N, F] flattened, neighbor j owns rows (h*N + j)*F + f) — so
+        # the polish can keep >= 1 of them pinned at all times.
+        m_s = A_s.shape[0]
+        guards, groups = (), ()
+        if ctrl.S:
+            H, F, N = ctrl.impc.cbf_horizon, ctrl.num_families, ctrl.N
+            guards = tuple(range(m_s - ctrl.S, m_s))
+            groups = tuple(
+                (m_s - ctrl.S + j,) + tuple(
+                    m_s + (h * N + j) * F + f
+                    for h in range(H) for f in range(F))
+                for j in range(ctrl.S))
         self.op_qp = StructuredQPOperator(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg,
-                                          q_scale_hint=q_hint)
+                                          q_scale_hint=q_hint,
+                                          polish_guard_rows=guards,
+                                          polish_guard_groups=groups)
 
     def optimize_batch(self, current: State, ref_positions: Array,
                        neighbor_blob: Array, neighbor_mask: Array,
@@ -554,7 +673,7 @@ class StructuredIMPC:
                 lambda cur_p, cur_v, blob, mask, pr: ctrl.dynamic_rows(
                     State(pos=cur_p, vel=cur_v), blob, mask, pr, active)
             )(current.pos, current.vel, neighbor_blob, neighbor_mask, pred)
-            if self.cfg.polish:
+            if getattr(self.cfg, "polish", False):
                 sol = self.op_qp.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d,
                                                 x0=x0)
             else:

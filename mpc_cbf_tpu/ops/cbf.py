@@ -309,11 +309,24 @@ class ConnectivityCBF:
         mask = (d2 <= self.dmax**2) & ~jnp.eye(n, dtype=bool)
         return jnp.where(mask, w, 0.0)
 
-    def lambda2(self, positions: Array) -> Tuple[Array, Array]:
+    def lambda2(self, positions: Array, node_mask: Array = None) -> Tuple[Array, Array]:
         """Second-smallest Laplacian eigenvalue and its unit eigenvector
-        (ConnectivityCBF.cpp:390-424). positions [N, 2]."""
+        (ConnectivityCBF.cpp:390-424). positions [N, 2].
+
+        node_mask [N] (optional): absent nodes are DEFLATED out — their
+        adjacency rows/cols are zeroed and a large diagonal shift pushes
+        their (otherwise zero) eigenvalues above the real spectrum, so
+        vals[1] is the λ₂ of the present-node subgraph with fixed shapes.
+        The shift (1e3) dominates the true spectrum: edge weights are
+        bounded by exp(Rs⁴/σ) − 1 = 1, so λ_max ≤ 2N for any sane N. The
+        reference has no masking (fixed team size)."""
         A = self.adjacency(positions)
+        if node_mask is not None:
+            pair = node_mask[:, None] & node_mask[None, :]
+            A = jnp.where(pair, A, 0.0)
         L = jnp.diag(jnp.sum(A, axis=1)) - A
+        if node_mask is not None:
+            L = L + 1e3 * jnp.diag((~node_mask).astype(L.dtype))
         vals, vecs = jnp.linalg.eigh(L)
         v = vecs[:, 1]
         v = v / jnp.linalg.norm(v)

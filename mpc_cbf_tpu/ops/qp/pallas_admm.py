@@ -10,9 +10,10 @@ lanes, shared operators (M_s^{-1}, A_s) loaded once.
 
 Layout: lanes = batch (last dim, 128-aligned blocks), sublanes = the
 problem dimensions (n, m_s, m_d — padded by Mosaic as needed). The shared
-matmuls hit the MXU; the per-lane dynamic-row algebra (A_d apply, 6x6
-Cholesky substitutions, Woodbury correction) is unrolled elementwise on
-the VPU across lanes.
+matmuls hit the MXU; the per-lane dynamic-row algebra (A_d apply and the
+folded Woodbury correction WK — its inner inverse is constant across
+iterations, precomputed in structured.py) runs elementwise on the VPU
+across lanes.
 
 Numerical semantics match ``StructuredQPOperator._solve``'s scan body
 exactly (same update order, same over-relaxation); equality is asserted
@@ -34,9 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(ms_inv_ref, a_s_ref, rho_s_ref,
             qb_ref, lbs_ref, ubs_ref,
             ad_ref, lbd_ref, ubd_ref, rho_d_ref,
-            w_ref, cchol_ref, x0_ref,
-            x_out, ys_out, yd_out,
-            *, iters: int, sigma: float, alpha: float, m_d: int):
+            wk_ref, x0_ref, zs0_ref, zd0_ref, ys0_ref, yd0_ref,
+            x_out, zs_out, zd_out, ys_out, yd_out,
+            *, iters: int, sigma: float, alpha: float):
     f32 = jnp.float32
     dot = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
 
@@ -48,8 +49,7 @@ def _kernel(ms_inv_ref, a_s_ref, rho_s_ref,
     Ad = ad_ref[:]                    # [m_d, n, Bb]
     lbd, ubd = lbd_ref[:], ubd_ref[:]  # [m_d, Bb]
     rho_d = rho_d_ref[:]              # [m_d, Bb]
-    W = w_ref[:]                      # [n, m_d, Bb]
-    C = cchol_ref[:]                  # [m_d, m_d, Bb]
+    WK = wk_ref[:]                    # [n, m_d, Bb] folded Woodbury solve
 
     def ad_apply(v):                  # [n, Bb] -> [m_d, Bb]
         return jnp.sum(Ad * v[None, :, :], axis=1)
@@ -57,34 +57,17 @@ def _kernel(ms_inv_ref, a_s_ref, rho_s_ref,
     def adT_apply(r):                 # [m_d, Bb] -> [n, Bb]
         return jnp.sum(Ad * r[:, None, :], axis=0)
 
-    def chol_solve(t):                # [m_d, Bb] -> [m_d, Bb]
-        # forward substitution L y = t, then backward L' u = y; C holds L.
-        y = []
-        for i in range(m_d):
-            acc = t[i]
-            for j in range(i):
-                acc = acc - C[i, j] * y[j]
-            y.append(acc / C[i, i])
-        u = [None] * m_d
-        for i in reversed(range(m_d)):
-            acc = y[i]
-            for j in range(i + 1, m_d):
-                acc = acc - C[j, i] * u[j]
-            u[i] = acc / C[i, i]
-        return jnp.stack(u)
-
     def msolve(rhs):                  # [n, Bb] -> [n, Bb] (Woodbury)
         S = dot(Ms_inv, rhs, (((1,), (0,)), ((), ())))
         t = ad_apply(S)
-        u = chol_solve(t)
-        corr = jnp.sum(W * u[None, :, :], axis=1)   # contract m_d -> [n, Bb]
+        corr = jnp.sum(WK * t[None, :, :], axis=1)  # contract m_d -> [n, Bb]
         return S - corr
 
     X = x0_ref[:]
-    ZS = jnp.clip(dot(A_s, X, (((1,), (0,)), ((), ()))), lbs, ubs)
-    ZD = jnp.clip(ad_apply(X), lbd, ubd)
-    YS = jnp.zeros_like(ZS)
-    YD = jnp.zeros_like(ZD)
+    ZS = zs0_ref[:]
+    ZD = zd0_ref[:]
+    YS = ys0_ref[:]
+    YD = yd0_ref[:]
 
     def body(_, carry):
         X, ZS, ZD, YS, YD = carry
@@ -108,24 +91,29 @@ def _kernel(ms_inv_ref, a_s_ref, rho_s_ref,
     X, ZS, ZD, YS, YD = jax.lax.fori_loop(
         0, iters, body, (X, ZS, ZD, YS, YD))
     x_out[:] = X
+    zs_out[:] = ZS
+    zd_out[:] = ZD
     ys_out[:] = YS
     yd_out[:] = YD
 
 
 def structured_admm_iterations(
-    Ms_inv, A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd, rho_d, W, C_chol, x0,
+    Ms_inv, A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd, rho_d, WK,
+    x0, zs0, zd0, ys0, yd0,
     *, iters: int, sigma: float, alpha: float,
     block: int = 256, interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the fused iteration loop. Batch-first inputs (as produced by
     StructuredQPOperator._solve after scaling):
 
-      qb, x0 [B, n]; lbs, ubs [B, m_s]; Ad [B, m_d, n]; lbd, ubd, rho_d
-      [B, m_d]; W [B, n, m_d]; C_chol [B, m_d, m_d]; shared Ms_inv [n, n],
-      A_sb [m_s, n], rho_s [m_s].
+      qb, x0 [B, n]; lbs, ubs, zs0, ys0 [B, m_s]; Ad [B, m_d, n]; lbd,
+      ubd, rho_d, zd0, yd0 [B, m_d]; WK [B, n, m_d] (the folded constant
+      Woodbury correction Ms_inv Ad' (R^-1 + Ad Ms_inv Ad')^-1); shared
+      Ms_inv [n, n], A_sb [m_s, n], rho_s [m_s].
 
-    Returns (x [B, n], ys [B, m_s], yd [B, m_d]) — same quantities the
-    jnp scan carries (scaled coordinates).
+    Returns (x [B, n], zs, zd, ys, yd) — the full iteration state (scaled
+    coordinates), so a rho-schedule phase can resume exactly where the
+    previous phase stopped.
     """
     B, n = qb.shape
     m_s = A_sb.shape[0]
@@ -133,11 +121,11 @@ def structured_admm_iterations(
     f32 = jnp.float32
 
     # VMEM-aware block clamp: per-lane resident floats are dominated by
-    # Ad + W (2 n m_d each) plus C (m_d^2), bounds/state vectors. Keep a
-    # block's state under ~6 MB so inputs + loop state + double buffering
-    # fit the ~16 MB VMEM (measured: 1024 lanes fit for m_d=6, n=40;
-    # 2048 overflows).
-    per_lane_bytes = 4 * (2 * n * m_d + m_d * m_d + 3 * n + 4 * m_s + 6 * m_d)
+    # Ad + WK (2 n m_d each) plus bounds/state vectors. Keep a block's
+    # state under ~6 MB so inputs + loop state + double buffering fit the
+    # ~16 MB VMEM (measured: 1024 lanes fit for m_d=6, n=40; 2048
+    # overflows).
+    per_lane_bytes = 4 * (2 * n * m_d + 3 * n + 6 * m_s + 8 * m_d)
     vmem_budget = 6 * 1024 * 1024
     block_cap = max(128, (vmem_budget // per_lane_bytes) // 128 * 128)
     Bb = min(block, block_cap, max(128, 1 << (B - 1).bit_length()))
@@ -157,12 +145,10 @@ def structured_admm_iterations(
     rho_dT = pad_lane(rho_d)
     lane_pad = jnp.arange(B_pad) >= B
     rho_dT = jnp.where(lane_pad[None, :], 1.0, rho_dT)
-    WT = pad_lane(W)                      # [n, m_d, B]
-    CT = pad_lane(C_chol)                 # [m_d, m_d, B]
-    # padded lanes need a nonsingular Cholesky factor
-    eye = jnp.eye(m_d, dtype=f32)[:, :, None]
-    CT = jnp.where(lane_pad[None, None, :], eye, CT)
+    WKT = pad_lane(WK)                    # [n, m_d, B] (zeros fine when padded)
     x0T = pad_lane(x0)
+    zs0T, ys0T = pad_lane(zs0), pad_lane(ys0)
+    zd0T, yd0T = pad_lane(zd0), pad_lane(yd0)
 
     grid = (B_pad // Bb,)
     vm = pltpu.VMEM
@@ -177,7 +163,7 @@ def structured_admm_iterations(
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=vm)
 
     kern = functools.partial(_kernel, iters=iters, sigma=float(sigma),
-                             alpha=float(alpha), m_d=m_d)
+                             alpha=float(alpha))
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -189,20 +175,25 @@ def structured_admm_iterations(
             lane_spec(m_s), lane_spec(m_s),
             lane_spec(m_d, n),            # AdT
             lane_spec(m_d), lane_spec(m_d), lane_spec(m_d),
-            lane_spec(n, m_d),            # WT
-            lane_spec(m_d, m_d),          # CT
+            lane_spec(n, m_d),            # WKT
             lane_spec(n),                 # x0T
+            lane_spec(m_s), lane_spec(m_d),   # zs0T, zd0T
+            lane_spec(m_s), lane_spec(m_d),   # ys0T, yd0T
         ],
-        out_specs=[lane_spec(n), lane_spec(m_s), lane_spec(m_d)],
+        out_specs=[lane_spec(n), lane_spec(m_s), lane_spec(m_d),
+                   lane_spec(m_s), lane_spec(m_d)],
         out_shape=[
             jax.ShapeDtypeStruct((n, B_pad), f32),
+            jax.ShapeDtypeStruct((m_s, B_pad), f32),
+            jax.ShapeDtypeStruct((m_d, B_pad), f32),
             jax.ShapeDtypeStruct((m_s, B_pad), f32),
             jax.ShapeDtypeStruct((m_d, B_pad), f32),
         ],
         interpret=interpret,
     )(Ms_inv.astype(f32), A_sb.astype(f32),
       rho_s.astype(f32).reshape(m_s, 1),
-      qbT, lbsT, ubsT, AdT, lbdT, ubdT, rho_dT, WT, CT, x0T)
+      qbT, lbsT, ubsT, AdT, lbdT, ubdT, rho_dT, WKT,
+      x0T, zs0T, zd0T, ys0T, yd0T)
 
-    x, ys, yd = (jnp.moveaxis(o, -1, 0)[:B] for o in out)
-    return x, ys, yd
+    x, zs, zd, ys, yd = (jnp.moveaxis(o, -1, 0)[:B] for o in out)
+    return x, zs, zd, ys, yd

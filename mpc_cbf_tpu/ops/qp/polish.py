@@ -73,7 +73,7 @@ class PolishResult(NamedTuple):
 
 
 def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
-                  pool: int):
+                  pool: int, guard_rows=(), guard_groups=()):
     """One chunk of lanes. All inputs already float64.
 
     P [n,n]; A_s [m_s,n]; q/x0 [B,n]; lb_s/ub_s [B,m_s]; A_d [B,m_d,n];
@@ -128,6 +128,32 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
     Ax0 = matvec(x0)
     d0 = jnp.minimum(Ax0 - lb, ub - Ax0)                 # [B, m]
     active0 = (~masked) & (~eq) & (d0 <= cfg.act_tol * bscale)
+    # Guard rows (bound rows of zero-curvature slack columns) get
+    # near-equality POOL priority so they are always pinnable: they are
+    # the fallback covering row for their group (below). They are NOT
+    # unconditionally pinned — pinning s=0 on a lane whose optimal slack
+    # is ~1e3 wrecks even a perfect entry point (measured).
+    gmask = jnp.zeros((m,), bool)
+    if len(guard_rows):
+        gmask = gmask.at[jnp.asarray(guard_rows)].set(True)
+    guard_key = jnp.where(gmask[None, :] & ~masked & ~eq, 1e9, 0.0)  # [B, m]
+
+    def ensure_cover(active_new, closeness):
+        """Boundedness invariant: each zero-curvature (slack) column must
+        keep >= 1 of its rows (guard_groups[g]) in the working set — at
+        the optimum either its nonneg row (s=0) or one binding slack-
+        coupled row (s>0) is active; a set violating this leaves the KKT
+        (1,1) block singular in that column. For an uncovered group, add
+        the group row closest to (or deepest past) its bound."""
+        for g in guard_groups:
+            in_g = jnp.zeros((m,), bool).at[jnp.asarray(g)].set(True)
+            sel = in_g[None, :] & ~eq & ~masked
+            covered = jnp.any(active_new & sel, axis=1)          # [B]
+            cand = jnp.where(sel, closeness, -jnp.inf)
+            best = jnp.argmax(cand, axis=1)                      # [B]
+            hit = (row_ids[None, :] == best[:, None]) & ~covered[:, None]
+            active_new = active_new | hit
+        return active_new
 
     nk = n + pool
     row_ids = jnp.arange(m)
@@ -140,7 +166,7 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
         # proximity/violation at the current point
         Ax = matvec(x)
         d = jnp.minimum(Ax - lb, ub - Ax) / bscale
-        key = jnp.where(eq & ~masked, 1e12, 0.0) \
+        key = jnp.where(eq & ~masked, 1e12, 0.0) + guard_key \
             + jnp.where(active, 1e6, 0.0) \
             + jnp.where(masked, -1e18, -d)
         _, idx = jax.lax.top_k(key, pool)                # [B, pool]
@@ -151,6 +177,37 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
         eq_g = take(eq & ~masked, idx)
         act_g = take(active, idx)
         pin = eq_g | act_g                               # [B, pool]
+
+        # Cap the PINNED set at n rows (the KKT stays square-solvable
+        # only while the pinned rows can be independent; pinning more
+        # than n turns the equality block into a delta-regularized
+        # least-squares mush that thrashes the iteration — measured on
+        # rough fov entries whose near-active band exceeds n - n_eq).
+        # Priority: equalities, then each guard group's best covering
+        # row, then actives by proximity.
+        if guard_groups:
+            cover_best = jnp.zeros((x.shape[0], m), bool)
+            for g in guard_groups:
+                in_g = jnp.zeros((m,), bool).at[jnp.asarray(g)].set(True)
+                sel = in_g[None, :] & active & ~eq & ~masked
+                cand = jnp.where(sel, -d, -jnp.inf)
+                best = jnp.argmax(cand, axis=1)
+                hit = (row_ids[None, :] == best[:, None]) \
+                    & jnp.any(sel, axis=1)[:, None]
+                cover_best = cover_best | hit
+            cover_g = take(cover_best, idx)
+        else:
+            cover_g = jnp.zeros_like(eq_g)
+        d_g = take(d, idx)
+        rank_key = jnp.where(eq_g, jnp.inf,
+                             jnp.where(act_g,
+                                       jnp.where(cover_g, 1e9, 0.0) - d_g,
+                                       -jnp.inf))
+        cap = min(n, pool)
+        _, keep_pos = jax.lax.top_k(rank_key, cap)       # [B, cap]
+        keep = jnp.zeros_like(pin)
+        keep = jax.vmap(lambda a, i: a.at[i].set(True))(keep, keep_pos)
+        pin = pin & keep
         lb_g, ub_g = take(lb, idx), take(ub, idx)
         side_hi = take(side, idx)
         b_g = jnp.where(side_hi, ub_g, lb_g) / rn_g
@@ -178,7 +235,12 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
         sol = s * sols
         x_new, y_g = sol[:, :n], sol[:, n:]
 
-        fin = jnp.all(jnp.isfinite(x_new), axis=1)
+        # reject non-finite AND runaway solutions (an unbounded working
+        # set drives pure-linear coordinates to ~q/sigma ~ 1e13); a
+        # rejected lane keeps its point and set for this round
+        xmag = jnp.max(jnp.abs(x), axis=1)
+        fin = jnp.all(jnp.isfinite(x_new), axis=1) \
+            & (jnp.max(jnp.abs(x_new), axis=1) <= 1e8 * jnp.maximum(1.0, xmag))
         x_new = jnp.where(fin[:, None], x_new, x)
 
         Axn = matvec(x_new)
@@ -205,6 +267,9 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
                 active_new, idx, act_vals)
             viol_rows = (viol_amt > cfg.viol_tol) & ~eq & ~masked
             active_new = active_new | viol_rows
+            # rejected lanes keep their working set untouched
+            active_new = jnp.where(fin[:, None], active_new, active)
+            active_new = ensure_cover(active_new, viol_amt)
             side_new = jnp.where(active_new & ~active, v_hi > v_lo, side)
         else:
             # SINGLE-change phase: one working-set change per lane per
@@ -218,9 +283,10 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
             drop_row = jnp.take_along_axis(
                 idx, drop_pos[:, None], axis=1)[:, 0]
 
+            drop_any = drop_any & fin
             viol_sel = jnp.where(eq | masked | active, -jnp.inf, viol_amt)
             add_row = jnp.argmax(viol_sel, axis=1)       # [B]
-            add_any = (~drop_any) & (jnp.take_along_axis(
+            add_any = fin & (~drop_any) & (jnp.take_along_axis(
                 viol_sel, add_row[:, None], axis=1)[:, 0] > cfg.viol_tol)
             add_side = jnp.take_along_axis(
                 v_hi, add_row[:, None], axis=1)[:, 0] > 0.0
@@ -228,11 +294,15 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
             hit_add = (row_ids[None, :] == add_row[:, None]) & add_any[:, None]
             hit_drop = (row_ids[None, :] == drop_row[:, None]) & drop_any[:, None]
             active_new = (active | hit_add) & ~hit_drop
-            side_new = jnp.where(hit_add, add_side[:, None], side)
+            active_new = ensure_cover(active_new, viol_amt)
+            side_new = jnp.where(active_new & ~active,
+                                 jnp.where(hit_add, add_side[:, None],
+                                           v_hi > v_lo), side)
         return (x_new, active_new, side_new), None
 
     # initial pin side: nearer bound at the entry point
     side0 = (ub - Ax0) < (Ax0 - lb)
+    active0 = ensure_cover(active0, jnp.maximum(lb - Ax0, Ax0 - ub) / bscale)
     carry = (x0, active0, side0)
     if cfg.mass_rounds:
         carry, _ = jax.lax.scan(partial(round_body, mass=True), carry,
@@ -246,7 +316,7 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
     d = jnp.minimum(Ax - lb, ub - Ax) / bscale
     viol = jnp.max(jnp.where(masked, 0.0, jnp.maximum(-d, 0.0)), axis=1)
 
-    key = jnp.where(eq & ~masked, 1e12, 0.0) \
+    key = jnp.where(eq & ~masked, 1e12, 0.0) + guard_key \
         + jnp.where(active_fin, 1e6, 0.0) \
         + jnp.where(masked, -1e18, -d)
     _, idx = jax.lax.top_k(key, pool)
@@ -279,19 +349,20 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
     return PolishResult(z=z, ok=ok, viol=viol, stat=stat)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool"))
-def _polish_jit(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg, pool):
+@partial(jax.jit, static_argnames=("cfg", "pool", "guard_rows", "guard_groups"))
+def _polish_jit(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg, pool,
+                guard_rows=(), guard_groups=()):
     B = q.shape[0]
     chunk = min(cfg.chunk, B)
     if B % chunk != 0:
         chunk = B  # irregular batch: single chunk
     if chunk == B:
         return _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0,
-                             cfg, pool)
+                             cfg, pool, guard_rows, guard_groups)
     resh = lambda a: a.reshape((B // chunk, chunk) + a.shape[1:])
     out = jax.lax.map(
         lambda t: _polish_chunk(P, A_s, t[0], t[1], t[2], t[3], t[4], t[5],
-                                t[6], cfg, pool),
+                                t[6], cfg, pool, guard_rows, guard_groups),
         (resh(q), resh(lb_s), resh(ub_s), resh(A_d), resh(lb_d), resh(ub_d),
          resh(x0)))
     flat = lambda a: a.reshape((B,) + a.shape[2:])
@@ -300,12 +371,22 @@ def _polish_jit(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg, pool):
 
 def polish_structured(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0,
                       cfg: PolishConfig = PolishConfig(),
-                      max_eq: Optional[int] = None) -> PolishResult:
+                      max_eq: Optional[int] = None,
+                      guard_rows=(), guard_groups=()) -> PolishResult:
     """Polish a batch of structured QPs (shared A_s + per-lane A_d) in f64.
 
     P [n,n] and A_s [m_s,n] shared; q/x0 [B,n]; lb_s/ub_s [B,m_s];
     A_d [B,m_d,n]; lb_d/ub_d [B,m_d]. Inputs may be f32 (the production
     entry path); everything is upcast here. Requires jax_enable_x64.
+
+    guard_rows: global row indices (shared rows first, then dynamic) whose
+    bound should start PINNED in every lane — pass the nonnegativity rows
+    of zero-curvature slack columns so the working-set KKT solves stay
+    bounded (see _polish_chunk).
+    guard_groups: tuple of tuples of global row indices; each group lists
+    ALL rows touching one zero-curvature column, and the working set is
+    forced to keep >= 1 row per group every round (boundedness invariant;
+    see _polish_chunk.ensure_cover).
     """
     if not jax.config.jax_enable_x64:
         raise RuntimeError(
@@ -317,10 +398,11 @@ def polish_structured(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0,
         # worst-case equality count from the shared bounds of lane 0 —
         # callers with exact knowledge should pass max_eq
         max_eq = m_s
-    n = q.shape[-1]
     pool = min(max_eq + cfg.pool_extra, m_s + A_d.shape[1])
     return _polish_jit(to64(P), to64(A_s), to64(q), to64(lb_s), to64(ub_s),
-                       to64(A_d), to64(lb_d), to64(ub_d), to64(x0), cfg, pool)
+                       to64(A_d), to64(lb_d), to64(ub_d), to64(x0), cfg, pool,
+                       tuple(int(i) for i in guard_rows),
+                       tuple(tuple(int(i) for i in g) for g in guard_groups))
 
 
 def polish_dense(qp, x0, cfg: PolishConfig = PolishConfig(),
@@ -338,8 +420,14 @@ def polish_dense(qp, x0, cfg: PolishConfig = PolishConfig(),
     ub_s = jnp.zeros((B, 0), qp.ub.dtype)
     if max_eq is None:
         import numpy as _np
-        max_eq = int(_np.max(_np.sum(
-            _np.asarray(qp.ub - qp.lb) <= 1e-9, axis=-1)))
+        # same RELATIVE equality test as _polish_chunk (ub-lb vs bound
+        # scale): an absolute test would undercount large-magnitude
+        # equality rows and leave the pool too narrow to pin them all
+        _lb, _ub = _np.asarray(qp.lb), _np.asarray(qp.ub)
+        _bscale = _np.maximum(
+            1.0, _np.maximum(_np.where(_lb > -BIG / 2, _np.abs(_lb), 0.0),
+                             _np.where(_ub < BIG / 2, _np.abs(_ub), 0.0)))
+        max_eq = int(_np.max(_np.sum((_ub - _lb) <= 1e-9 * _bscale, axis=-1)))
     cfgp = cfg
     pool = min(max_eq + cfg.pool_extra, qp.m)
     f64 = jnp.float64

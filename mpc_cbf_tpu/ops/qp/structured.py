@@ -48,6 +48,20 @@ class StructuredConfig:
     sigma: float = 1e-6
     rho: float = 0.1
     rho_eq_scale: float = 1e3
+    # Two-phase rho schedule: the first hi_frac*iters iterations run at
+    # rho*rho_hi_scale (all rows), the rest at rho, carrying the full
+    # (x, z, y) state across the switch. The fov flagship stalls near
+    # pri~1 at rho=0.1 (slack-coupled CBF rows need a stiff penalty to
+    # move) but rho=10 alone leaves ~1e0 control deviation vs the exact
+    # oracle at 800 iters (dual convergence slows). High-then-low gets
+    # both: feasibility from the stiff phase, optimality from the soft
+    # phase warm-started at a near-feasible point. Both Ms_inv
+    # factorizations are precomputed at build time — the schedule costs
+    # one extra [n,n] matrix and one extra Woodbury precompute, no
+    # in-loop work. rho_hi_scale=1 or hi_frac=0 recovers single-phase.
+    rho_hi_scale: float = 100.0
+    hi_frac: float = 0.5
+    hi_iters_cap: int = 50
     alpha: float = 1.6
     eps_pri: float = 5e-3     # f32 bar (relative)
     refine_steps: int = 1
@@ -59,6 +73,12 @@ class StructuredConfig:
     # the measured throughput optimum (2048 overflows VMEM on v5e)
     pallas_block: int = 1024
     pallas_interpret: bool = False
+    # lanes per chunk for the one-time batched Woodbury inversion: XLA's
+    # blocked LU/triangular-solve kernels allocate scoped VMEM per lane
+    # block and overflow the 16 MB budget past ~128 lanes at m_d=84
+    # (BENCH_r02.json rc=1; re-measured at B=256 this round), so the
+    # inverse runs chunked via lax.map
+    inv_chunk: int = 128
     # f64 active-set polish after the ADMM iterations (ops/qp/polish.py):
     # certifies each lane to f64 optimality (<1e-3 control-deviation bar met
     # from an f32 ADMM entry); lanes that fail certification keep their
@@ -67,9 +87,33 @@ class StructuredConfig:
 
 
 class StructuredSolution(NamedTuple):
-    z: Array        # [B, n]
-    pri_res: Array  # [B]
-    converged: Array
+    z: Array          # [B, n]
+    pri_res: Array    # [B]
+    converged: Array  # met the (loose, f32) ADMM bar — NOT the <1e-3 bar
+    # lane certified to f64 optimality by the active-set polish
+    # (solve_polished only; always False on the raw ADMM path). converged
+    # on a fallback lane means only the ADMM bar — check certified for the
+    # exact-oracle (<1e-3 control deviation) guarantee.
+    certified: Array
+
+
+def _chunked_inv(C: Array, chunk: int) -> Array:
+    """Batched [B, m, m] inverse, chunked over lanes via lax.map so XLA's
+    blocked LU/triangular-solve kernels never see more lanes than fit
+    scoped VMEM (measured: f32[256,1,84,84] InvertDiagBlocks* already
+    needs 18.09M vs the 16M limit on v5e — chunks must stay ~128 lanes at
+    m=84). Batches that don't divide are padded with identity lanes."""
+    B = C.shape[0]
+    if chunk <= 0 or B <= chunk:
+        return jnp.linalg.inv(C)
+    pad = (-B) % chunk
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(C.shape[-1], dtype=C.dtype),
+                               (pad, *C.shape[1:]))
+        C = jnp.concatenate([C, eye], axis=0)
+    Cr = C.reshape((B + pad) // chunk, chunk, *C.shape[1:])
+    out = jax.lax.map(jnp.linalg.inv, Cr).reshape(C.shape)
+    return out[:B]
 
 
 class StructuredQPOperator:
@@ -81,7 +125,8 @@ class StructuredQPOperator:
 
     def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
                  m_d: int, cfg: StructuredConfig = StructuredConfig(),
-                 dtype=jnp.float32, q_scale_hint: float = 0.0):
+                 dtype=jnp.float32, q_scale_hint: float = 0.0,
+                 polish_guard_rows=(), polish_guard_groups=()):
         n = P.shape[0]
         self.n, self.m_s, self.m_d = n, A_s.shape[0], m_d
         self.cfg = cfg
@@ -113,19 +158,56 @@ class StructuredQPOperator:
         self._P0 = np.asarray(P, np.float64)
         self._A_s0 = np.asarray(A_s, np.float64)
         self._n_eq = int(np.sum(eq_mask_s))
-
-        rho_s = np.where(eq_mask_s, cfg.rho * cfg.rho_eq_scale, cfg.rho)
-        M_s = P64 + cfg.sigma * np.eye(n) + (A64.T * rho_s) @ A64
-        Ms_inv = np.linalg.inv(M_s)
+        # rows guarding zero-curvature (slack) columns, pre-pinned by the
+        # polish so its working-set KKT solves stay bounded; groups list
+        # ALL rows touching each such column (coverage invariant)
+        self._guard_rows = tuple(int(i) for i in polish_guard_rows)
+        self._guard_groups = tuple(tuple(int(i) for i in g)
+                                   for g in polish_guard_groups)
 
         self.D = jnp.asarray(d, dtype)
         self.E_s = jnp.asarray(e, dtype)
         self.gamma = float(gamma)
         self.Pb = jnp.asarray(P64, dtype)
         self.A_sb = jnp.asarray(A64, dtype)
-        self.Ms_inv = jnp.asarray(Ms_inv, dtype)
-        self.rho_s = jnp.asarray(rho_s, dtype)
-        self.rho_d = cfg.rho
+
+        # phase schedule: (iters, Ms_inv, rho_s, rho_d) per phase — SOFT
+        # first (cost/optimality progress), STIFF second (clamps
+        # feasibility from the near-optimal warm state). Measured on the
+        # fov flagship ensemble (64 problems, 200 iters, f32): soft-only
+        # 25/64 usable, slack-scoped soft->stiff 34/64 at cap 50. (Scaling
+        # ALL rows reached 55/64 but broke closed-loop goal tracking —
+        # see the slack_row note below.) Exact-accuracy fov lanes go
+        # through the f64 IPM (ops/qp/ipm.py), not this path.
+        iters_hi = (int(round(cfg.iters * cfg.hi_frac))
+                    if cfg.rho_hi_scale != 1.0 else 0)
+        # the stiff clamp saturates within ~100 iterations; longer budgets
+        # should be spent on cost optimality (the soft phase), not here
+        iters_hi = min(iters_hi, cfg.iters, cfg.hi_iters_cap)
+        # The stiff scale applies ONLY to the constraint families that
+        # stall at soft rho — the dynamic (CBF/Voronoi) rows and the slack
+        # nonnegativity rows (polish_guard_rows) they couple to. Tracking
+        # rows (position/velocity/continuity/bounds) keep the soft rho in
+        # both phases: stiffening them was measured to wreck closed-loop
+        # goal tracking (connectivity 2r rotate sim overshoots ~1 m past
+        # the goal) while buying nothing on the fov usable rate.
+        slack_row = np.zeros(self.m_s, bool)
+        if len(self._guard_rows):
+            slack_row[list(self._guard_rows)] = True
+        self.phases = []
+        for scale, n_it in ((1.0, cfg.iters - iters_hi),
+                            (cfg.rho_hi_scale, iters_hi)):
+            if n_it <= 0:
+                continue
+            rho_s = np.where(eq_mask_s, cfg.rho * cfg.rho_eq_scale,
+                             cfg.rho) * np.where(slack_row, scale, 1.0)
+            M_s = P64 + cfg.sigma * np.eye(n) + (A64.T * rho_s) @ A64
+            self.phases.append((n_it,
+                                jnp.asarray(np.linalg.inv(M_s), dtype),
+                                jnp.asarray(rho_s, dtype),
+                                float(cfg.rho * scale)))
+        # aliases for the entry phase (used for warm-start scaling hooks)
+        _, self.Ms_inv, self.rho_s, self.rho_d = self.phases[0]
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
@@ -157,13 +239,15 @@ class StructuredQPOperator:
         res = polish_structured(
             self._P0, self._A_s0, q, lb_s, ub_s, A_d, lb_d, ub_d, sol.z,
             polish_cfg if polish_cfg is not None else PolishConfig(),
-            max_eq=self._n_eq)
+            max_eq=self._n_eq, guard_rows=self._guard_rows,
+            guard_groups=self._guard_groups)
         z = jnp.where(res.ok[:, None], res.z, sol.z.astype(res.z.dtype))
         return StructuredSolution(
             z=z.astype(sol.z.dtype),
             pri_res=jnp.where(res.ok, res.viol.astype(sol.pri_res.dtype),
                               sol.pri_res),
             converged=sol.converged | res.ok,
+            certified=res.ok,
         )
 
     def _solve(self, q: Array, lb_s: Array, ub_s: Array,
@@ -188,79 +272,102 @@ class StructuredQPOperator:
         lbd = jnp.maximum(lb_d, -BIG) * e_d
         ubd = jnp.minimum(ub_d, BIG) * e_d
         inactive_d = (lb_d <= -BIG / 2) & (ub_d >= BIG / 2)
-        rho_d = jnp.where(inactive_d, 1e-12, self.rho_d).astype(dt)  # [B, m_d]
 
-        # Woodbury precompute (per problem, once per solve)
-        # W = Ms_inv @ Ad' : [B, n, m_d]
-        W = jnp.einsum("ij,bdj->bid", self.Ms_inv, Ad, preferred_element_type=dt)
-        # C = diag(1/rho_d) + Ad Ms_inv Ad' : [B, m_d, m_d]
-        C = jnp.einsum("bdj,bje->bde", Ad, W, preferred_element_type=dt) \
-            + jnp.einsum("bd,de->bde", 1.0 / rho_d, jnp.eye(self.m_d, dtype=dt))
-        C_chol = jnp.linalg.cholesky(C)
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            # any real-TPU backend (incl. the remote 'axon' plugin); the
+            # fused kernel needs f32 state. Past ~32 dynamic rows the
+            # per-lane Ad/WK tensors shrink the VMEM lane blocks below
+            # MXU-efficient widths, so wide-m_d problems (fov flagship,
+            # m_d=84) take the scan path whose per-iteration einsums stay
+            # large and batched. Under jax_enable_x64 the BlockSpec index
+            # maps trace as i64 and Mosaic fails to legalize the kernel
+            # ("func.return (i64, i64)" — observed on v5e through the
+            # axon backend), so x64 processes take the scan path too.
+            use_pallas = (jax.default_backend() not in ("cpu", "gpu")
+                          and dt == jnp.float32 and self.m_d <= 32
+                          and not jax.config.jax_enable_x64)
 
-        def msolve(RHS_T):
-            """Apply M_b^{-1} to a batch of right-hand sides.
-
-            RHS_T [n, B] transposed layout; returns [n, B].
-            """
-            S = self.Ms_inv @ RHS_T                              # [n,B] shared MXU
-            t = jnp.einsum("bdj,jb->bd", Ad, S)                  # [B, m_d]
-            u = jax.scipy.linalg.cho_solve(
-                (C_chol, True), t[..., None])[..., 0]            # [B, m_d]
-            corr = jnp.einsum("bid,bd->bi", W, u)                # [B, n]
-            return S - corr.T
-
-        # transposed iteration state
+        # initial state (transposed layout)
         x = (x0 / D if x0 is not None else jnp.zeros_like(q)).T * 1.0  # [n, B]
         zs = jnp.clip((self.A_sb @ x).T, lbs, ubs)               # [B, m_s]
         zd = jnp.clip(jnp.einsum("bdj,jb->bd", Ad, x), lbd, ubd)
         ys = jnp.zeros_like(zs)
         yd = jnp.zeros_like(zd)
 
-        rho_s = self.rho_s
+        # NOTE on duals at the phase switch: the raw y carries over
+        # unchanged. Rescaling y to keep the scaled dual u = y/rho
+        # continuous looks right on paper but measured strictly worse on
+        # both variants (fov 44/64 vs 60/64 usable; connectivity oracle
+        # deviation 3e-2 vs 5.9e-4) — the raw duals are the better
+        # warm-start information.
+        for n_it, Ms_inv, rho_s, rho_d_base in self.phases:
+            rho_d = jnp.where(inactive_d, 1e-12, rho_d_base).astype(dt)
 
-        def iteration(carry, _):
-            x, zs, zd, ys, yd = carry
-            # rhs = sigma x - q + As'(rho_s zs - ys) + Ad'(rho_d zd - yd)
-            rs = (rho_s[None, :] * zs - ys)                      # [B, m_s]
-            rd = (rho_d * zd - yd)                               # [B, m_d]
-            RHS = cfg.sigma * x - qb.T + self.A_sb.T @ rs.T \
-                + jnp.einsum("bdj,bd->bj", Ad, rd).T             # [n, B]
-            xt = msolve(RHS)
-            zAs = (self.A_sb @ xt).T                             # [B, m_s]
-            zAd = jnp.einsum("bdj,jb->bd", Ad, xt)
-            x_new = cfg.alpha * xt + (1 - cfg.alpha) * x
-            zs_h = cfg.alpha * zAs + (1 - cfg.alpha) * zs + ys / rho_s[None, :]
-            zd_h = cfg.alpha * zAd + (1 - cfg.alpha) * zd + yd / rho_d
-            zs_new = jnp.clip(zs_h, lbs, ubs)
-            zd_new = jnp.clip(zd_h, lbd, ubd)
-            ys_new = ys + rho_s[None, :] * (cfg.alpha * zAs + (1 - cfg.alpha) * zs - zs_new)
-            yd_new = yd + rho_d * (cfg.alpha * zAd + (1 - cfg.alpha) * zd - zd_new)
-            return (x_new, zs_new, zd_new, ys_new, yd_new), None
+            # Woodbury precompute (per problem, ONCE per phase — the inner
+            # matrix never changes across iterations, so the whole inner
+            # solve is folded into one tensor WK and the loop body is two
+            # batched MXU matmuls with no in-loop factorization or
+            # triangular solve). W = Ms_inv @ Ad' : [B, n, m_d]
+            W = jnp.einsum("ij,bdj->bid", Ms_inv, Ad,
+                           preferred_element_type=dt)
+            AMA = jnp.einsum("bdj,bje->bde", Ad, W,
+                             preferred_element_type=dt)
+            # (R^-1 + AMA)^-1 = S (I + S AMA S)^-1 S, S = diag(sqrt(rho)):
+            # the scaled form stays well-conditioned even with the 1e-12
+            # rho on masked rows (the raw C = R^-1 + AMA has 1e12 diagonal
+            # spikes an explicit f32 inverse could not survive)
+            sr = jnp.sqrt(rho_d)                                 # [B, m_d]
+            Cp = jnp.eye(self.m_d, dtype=dt)[None] \
+                + sr[:, :, None] * AMA * sr[:, None, :]
+            Cp_inv = _chunked_inv(Cp, cfg.inv_chunk)
+            K = sr[:, :, None] * Cp_inv * sr[:, None, :]         # [B,m_d,m_d]
+            WK = jnp.einsum("bid,bde->bie", W, K,
+                            preferred_element_type=dt)
 
-        use_pallas = cfg.use_pallas
-        if use_pallas is None:
-            # any real-TPU backend (incl. the remote 'axon' plugin); the
-            # fused kernel needs f32 state. The kernel's per-lane Cholesky
-            # substitutions are an O(m_d^2) unroll — past ~32 dynamic rows
-            # (the FoV flagship has m_d ~ 84) the body bloats and VMEM
-            # blocks shrink below MXU-efficient widths, so the XLA scan
-            # path (whose per-iteration einsums stay large and batched)
-            # wins there.
-            use_pallas = (jax.default_backend() not in ("cpu", "gpu")
-                          and dt == jnp.float32 and self.m_d <= 32)
-        if use_pallas:
-            from mpc_cbf_tpu.ops.qp.pallas_admm import structured_admm_iterations
+            if use_pallas:
+                from mpc_cbf_tpu.ops.qp.pallas_admm import (
+                    structured_admm_iterations)
 
-            x_bf, _, _ = structured_admm_iterations(
-                self.Ms_inv, self.A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd,
-                rho_d, W, C_chol, x.T,
-                iters=cfg.iters, sigma=cfg.sigma, alpha=cfg.alpha,
-                block=cfg.pallas_block, interpret=cfg.pallas_interpret)
-            x = x_bf.T
-        else:
+                x_bf, zs, zd, ys, yd = structured_admm_iterations(
+                    Ms_inv, self.A_sb, rho_s, qb, lbs, ubs, Ad, lbd, ubd,
+                    rho_d, WK, x.T, zs, zd, ys, yd,
+                    iters=n_it, sigma=cfg.sigma, alpha=cfg.alpha,
+                    block=cfg.pallas_block, interpret=cfg.pallas_interpret)
+                x = x_bf.T
+                continue
+
+            def msolve(RHS_T, Ad=Ad, Ms_inv=Ms_inv, WK=WK):
+                """Apply M_b^{-1} to a batch of right-hand sides.
+
+                RHS_T [n, B] transposed layout; returns [n, B].
+                """
+                S = Ms_inv @ RHS_T                               # [n,B] shared MXU
+                t = jnp.einsum("bdj,jb->bd", Ad, S)              # [B, m_d]
+                corr = jnp.einsum("bie,be->bi", WK, t)           # [B, n]
+                return S - corr.T
+
+            def iteration(carry, _, rho_s=rho_s, rho_d=rho_d, msolve=msolve):
+                x, zs, zd, ys, yd = carry
+                # rhs = sigma x - q + As'(rho_s zs - ys) + Ad'(rho_d zd - yd)
+                rs = (rho_s[None, :] * zs - ys)                  # [B, m_s]
+                rd = (rho_d * zd - yd)                           # [B, m_d]
+                RHS = cfg.sigma * x - qb.T + self.A_sb.T @ rs.T \
+                    + jnp.einsum("bdj,bd->bj", Ad, rd).T         # [n, B]
+                xt = msolve(RHS)
+                zAs = (self.A_sb @ xt).T                         # [B, m_s]
+                zAd = jnp.einsum("bdj,jb->bd", Ad, xt)
+                x_new = cfg.alpha * xt + (1 - cfg.alpha) * x
+                zs_h = cfg.alpha * zAs + (1 - cfg.alpha) * zs + ys / rho_s[None, :]
+                zd_h = cfg.alpha * zAd + (1 - cfg.alpha) * zd + yd / rho_d
+                zs_new = jnp.clip(zs_h, lbs, ubs)
+                zd_new = jnp.clip(zd_h, lbd, ubd)
+                ys_new = ys + rho_s[None, :] * (cfg.alpha * zAs + (1 - cfg.alpha) * zs - zs_new)
+                yd_new = yd + rho_d * (cfg.alpha * zAd + (1 - cfg.alpha) * zd - zd_new)
+                return (x_new, zs_new, zd_new, ys_new, yd_new), None
+
             (x, zs, zd, ys, yd), _ = jax.lax.scan(
-                iteration, (x, zs, zd, ys, yd), None, length=cfg.iters
+                iteration, (x, zs, zd, ys, yd), None, length=n_it
             )
 
         # unscale; primal residual in scaled (row-equilibrated) coordinates,
@@ -280,4 +387,5 @@ class StructuredQPOperator:
             z=x_out,
             pri_res=pri,
             converged=(rel < cfg.eps_pri) & jnp.all(jnp.isfinite(x_out), axis=-1),
+            certified=jnp.zeros(B, bool),
         )

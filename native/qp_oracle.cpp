@@ -102,9 +102,24 @@ extern "C" {
 
 // Returns 0 = optimal, 1 = max-iter (x still usable), 2 = numerical failure.
 // info_out (optional, len >= 3): [iterations, final mu, primal residual]
-int qp_solve(int n, int m, const double* P, const double* q, const double* A,
-             const double* lb, const double* ub, double* x_out,
-             double* info_out) {
+int qp_solve(int n, int m, const double* P_in, const double* q_in,
+             const double* A, const double* lb, const double* ub,
+             double* x_out, double* info_out) {
+    // Objective normalization: scaling (P, q) by gamma leaves x* unchanged
+    // while keeping the dual residual and mu at O(1). Without it the
+    // fov-flagship QPs (slack costs ~5e4) blow the Mehrotra iteration up
+    // (observed mu ~ 1e18 at max-iter) and the absolute mu stopping bars
+    // are meaningless.
+    double cost_scale = 1.0;
+    for (int i = 0; i < n; ++i) cost_scale = std::max(cost_scale, std::fabs(q_in[i]));
+    for (int i = 0; i < n * n; ++i) cost_scale = std::max(cost_scale, std::fabs(P_in[i]));
+    const double gamma = 1.0 / cost_scale;
+    vector<double> Pv(P_in, P_in + (size_t)n * n), qv(q_in, q_in + n);
+    for (double& v : Pv) v *= gamma;
+    for (double& v : qv) v *= gamma;
+    const double* P = Pv.data();
+    const double* q = qv.data();
+
     Rows rows = split_rows(n, m, A, lb, ub);
     const int me = rows.me, mi = rows.mi;
     const int k = n + me;

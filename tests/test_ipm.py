@@ -1,0 +1,133 @@
+"""Batched Mehrotra IPM (ops/qp/ipm.py) vs the native exact oracle.
+
+This is the CERTIFIED fov-flagship accuracy path: the f32 ADMM entry +
+active-set polish certifies the connectivity variant (test_polish.py) but
+cannot reach the bar on slack-saturated fov lanes; the f64 IPM solves the
+same QPs to ~1e-8 control deviation from a cold start.
+
+Oracle: native/qp_oracle.cpp (Mehrotra IPM, Eigen, f64) — the stand-in
+for the reference's CPLEX (``qpcpp/src/solvers/CPLEX.cpp:35-178``).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_cbf_tpu.ops.qp.ipm import IPMConfig, StructuredIPM
+from mpc_cbf_tpu.ops.qp.oracle import solve_oracle_batch
+
+from test_oracle_deviation import _flagship_qps, _fov_flagship_qps
+
+
+def _split_structured(ctrl, qp):
+    """Recover (q, lb_s, ub_s, A_d, lb_d, ub_d) from the dense QPBatch:
+    assemble() emits [eq | bounds | CBF | extra | slack] rows while
+    static_parts() orders shared rows [eq | bounds | slack] — so the
+    shared bounds are rows [:m_eq+m_bd] + the trailing slack rows, and the
+    dynamic block is the middle."""
+    P, A_s, eq_mask = ctrl.static_parts()
+    m_s, m_d, S = A_s.shape[0], ctrl.m_dynamic, ctrl.S
+    m_head = m_s - S
+    lb, ub = np.asarray(qp.lb), np.asarray(qp.ub)
+    A = np.asarray(qp.A)
+    lb_s = np.concatenate([lb[:, :m_head], lb[:, m_head + m_d:]], axis=1)
+    ub_s = np.concatenate([ub[:, :m_head], ub[:, m_head + m_d:]], axis=1)
+    A_d = A[:, m_head:m_head + m_d]
+    lb_d = lb[:, m_head:m_head + m_d]
+    ub_d = ub[:, m_head:m_head + m_d]
+    # sanity: the dense rows must match the static parts
+    np.testing.assert_allclose(A[0, :m_head], A_s[:m_head], atol=0)
+    return (P, A_s, eq_mask), (np.asarray(qp.q), lb_s, ub_s, A_d, lb_d, ub_d)
+
+
+def _oracle(qp):
+    x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                         (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+    assert (status == 0).all(), status
+    return x_ref
+
+
+def test_ipm_fov_flagship_control_deviation():
+    """FoV flagship (m_d = 84, 4 CBF families, Voronoi rows, 7 ranked
+    slack columns): cold-start IPM must beat the 1e-3 deviation bar by
+    orders of magnitude, every lane converged."""
+    B = 64
+    ctrl, op, qp, _ = _fov_flagship_qps(B)
+    x_ref = _oracle(qp)
+    (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
+
+    ipm = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic)
+    sol = ipm.solve(*(jnp.asarray(a) for a in args))
+    assert bool(np.all(np.asarray(sol.converged))), (
+        f"unconverged: {np.nonzero(~np.asarray(sol.converged))[0]}, "
+        f"mu={np.asarray(sol.mu)}, pri={np.asarray(sol.pri_res)}")
+
+    U = np.asarray(op.U_basis)
+    dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
+    assert dev.max() < 1e-3, f"fov flagship IPM control deviation: {dev.max()}"
+    # the residual tail is QP degeneracy, not solver error: on the worst
+    # lane the IPM objective is LOWER than the oracle's (-1.5e-6 at
+    # objective scale 1.5e6) with feasibility 7e-14 — both are ε-optimal
+    # along near-flat directions created by the 5e4 slack weights. The
+    # typical lane is near-exact:
+    assert np.median(dev) < 1e-5, f"median deviation: {np.median(dev)}"
+
+
+def test_ipm_connectivity_flagship_control_deviation():
+    B = 32
+    ctrl, op, qp, _ = _flagship_qps(B)
+    x_ref = _oracle(qp)
+    (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
+
+    ipm = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic)
+    sol = ipm.solve(*(jnp.asarray(a) for a in args))
+    assert bool(np.all(np.asarray(sol.converged)))
+    U = np.asarray(op.U_basis)
+    dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
+    # worst lane is again ε-optimal degeneracy (IPM objective -1.4e-8
+    # BELOW the oracle's at μ = 4e-14)
+    assert dev.max() < 1e-3, f"connectivity IPM control deviation: {dev.max()}"
+    assert np.median(dev) < 1e-6, f"median deviation: {np.median(dev)}"
+
+
+def test_ipm_x0_is_inert():
+    """x0 is accepted for interface parity with StructuredQPOperator but
+    deliberately ignored (primal-only warm starts measurably HURT IPM
+    convergence — see ops/qp/ipm.py solve()); passing one must not change
+    the result."""
+    B = 16
+    ctrl, op, qp, _ = _fov_flagship_qps(B, seed=11)
+    x_ref = _oracle(qp)
+    (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
+    ipm = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic, IPMConfig(iters=10))
+    cold = ipm.solve(*(jnp.asarray(a) for a in args))
+    warm = ipm.solve(*(jnp.asarray(a) for a in args), x0=jnp.asarray(x_ref))
+    np.testing.assert_array_equal(np.asarray(cold.z), np.asarray(warm.z))
+
+
+def test_ipm_masked_neighbors_match_smaller_problem():
+    """Rows masked via ±BIG (absent neighbors) must not perturb the
+    solution: solve the 7-neighbor problem with 3 masked vs the oracle on
+    the same (masked) dense QP."""
+    B = 8
+    ctrl, op, qp, (pos, vel, refs, blobs, mask) = _fov_flagship_qps(B, seed=5)
+    from mpc_cbf_tpu.types import State
+    mask = np.asarray(mask).copy()
+    mask[:, 4:] = False
+    mask_j = jnp.asarray(mask)
+    H = ctrl.impc.cbf_horizon
+
+    def build(p, v, r, nb, mk):
+        x = jnp.concatenate([p, v])
+        return ctrl.assemble(State(pos=p, vel=v), r, nb, mk,
+                             jnp.broadcast_to(x, (H, 6)), jnp.arange(H) == 0)
+
+    qp2 = jax.vmap(build)(pos, vel, refs, blobs, mask_j)
+    x_ref = _oracle(qp2)
+    (P, A_s, eq_mask), args = _split_structured(ctrl, qp2)
+    ipm = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic)
+    sol = ipm.solve(*(jnp.asarray(a) for a in args))
+    assert bool(np.all(np.asarray(sol.converged)))
+    U = np.asarray(op.U_basis)
+    dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
+    assert dev.max() < 1e-3, dev.max()
+    assert np.median(dev) < 1e-5, np.median(dev)

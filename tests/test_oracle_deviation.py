@@ -10,12 +10,13 @@ import jax.numpy as jnp
 import pytest
 
 from mpc_cbf_tpu.types import State
-from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
 from mpc_cbf_tpu.ops.qp import ADMMConfig, solve_batch
 from mpc_cbf_tpu.ops.qp.oracle import solve_oracle, solve_oracle_batch
 from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
 from mpc_cbf_tpu.controllers import (
-    BezierParams, MPCParams, BezierMPCOperator, IMPCParams, ConnectivityIMPCCBF,
+    BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
+    ConnectivityIMPCCBF, FovIMPCCBF,
 )
 from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
 
@@ -54,6 +55,60 @@ def _flagship_qps(B, N=3, seed=0):
 
     qp = jax.vmap(build)(pos, vel, refs, blobs, mask)
     return ctrl, op, qp, (pos, vel, refs, blobs, mask)
+
+
+def _fov_flagship_qps(B, N=7, seed=3):
+    """Assemble B FoV-FLAGSHIP MPC-CBF QPs (iteration-0 form): 8-robot
+    team, 4 CBF families x cbf_horizon x 7 neighbors + 7x4 Voronoi rows +
+    7 ranked slack columns — the reference's flagship configuration
+    (``FovBezierIMPCCBF.cpp:47-223``), m_d = 84, n = 43."""
+    rng = np.random.default_rng(seed)
+    op = BezierMPCOperator(BezierParams(), MPC, dim=3)
+    cbf = FovCBF(120.0 * np.pi / 180.0, 0.3, 6.0,
+                 jnp.asarray(MPC.v_min), jnp.asarray(MPC.v_max))
+    impc = IMPCParams(slack_mode=True)
+    ctrl = FovIMPCCBF(op, cbf, impc, N,
+                      box_half_extents=np.array([0.1, 0.1, 0.0]),
+                      solver=ADMMConfig(iters=200))
+
+    pos = jnp.asarray(rng.normal(0, 0.3, (B, 3)))
+    vel = jnp.asarray(rng.normal(0, 0.5, (B, 3)))
+    goals = jnp.asarray(rng.normal(0, 3.0, (B, 3)))
+    refs = jnp.tile(goals[:, None, :], (1, MPC.k_hor, 1)).reshape(B, -1)
+    ang = rng.uniform(0, 2 * np.pi, (B, N))
+    rad = rng.uniform(1.0, 3.5, (B, N))
+    cov = np.broadcast_to(np.array([0.05, 0.0, 0.05]), (B, N, 3))
+    blobs = jnp.asarray(np.concatenate(
+        [(rad * np.cos(ang))[..., None], (rad * np.sin(ang))[..., None],
+         cov], axis=-1))
+    mask = jnp.ones((B, N), bool)
+    H = impc.cbf_horizon
+
+    def build(p, v, r, nb, mk):
+        x = jnp.concatenate([p, v])
+        return ctrl.assemble(State(pos=p, vel=v), r, nb, mk,
+                             jnp.broadcast_to(x, (H, 6)), jnp.arange(H) == 0)
+
+    qp = jax.vmap(build)(pos, vel, refs, blobs, mask)
+    return ctrl, op, qp, (pos, vel, refs, blobs, mask)
+
+
+def test_fov_flagship_oracle_solves():
+    """The exact oracle must handle the flagship QP family (slack costs at
+    5e4 scale stalled the unnormalized Mehrotra IPM — objective scaling in
+    native/qp_oracle.cpp fixed it)."""
+    _, _, qp, _ = _fov_flagship_qps(8)
+    x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                         (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+    assert (status == 0).all(), status
+    from mpc_cbf_tpu.types import BIG
+    A, lb, ub = (np.asarray(v) for v in (qp.A, qp.lb, qp.ub))
+    Ax = np.einsum("bmn,bn->bm", A, x_ref)
+    bscale = np.maximum(1.0, np.maximum(
+        np.where(lb > -BIG / 2, np.abs(lb), 0.0),
+        np.where(ub < BIG / 2, np.abs(ub), 0.0)))
+    viol = np.maximum((lb - Ax) / bscale, (Ax - ub) / bscale)
+    assert viol.max() < 1e-9
 
 
 def test_admm_control_deviation_vs_oracle():

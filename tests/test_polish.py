@@ -10,6 +10,7 @@ job. These tests enter in FLOAT32 (the production dtype) and assert the
 polished output against the native exact IPM oracle.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +21,59 @@ from mpc_cbf_tpu.ops.qp.polish import polish_dense, polish_structured, PolishCon
 from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
 from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
 
-from test_oracle_deviation import _flagship_qps, MPC
+from test_oracle_deviation import _flagship_qps, _fov_flagship_qps, MPC
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="known limitation: the active-set polish needs a near-optimal "
+    "entry, and the f32 ADMM entry on slack-saturated fov QPs is ~1e0 off "
+    "(pinning churn thrashes from there; measured). The certified fov "
+    "accuracy path is the batched Mehrotra IPM (ops/qp/ipm.py, "
+    "test_ipm.py), which solves the same QPs to 1e-9 from cold.")
+def test_polish_fov_flagship_f32_entry_meets_accuracy_bar():
+    """FoV-flagship polish attempt (m_d=84, 4 CBF families, Voronoi rows,
+    7 ranked slack columns): f32 structured ADMM entry + f64 polish vs the
+    exact oracle. Kept as an xfail tripwire — if the polish ever learns to
+    certify these lanes, promote it back to a hard assertion."""
+    B = 32
+    ctrl, op, qp, (pos, vel, refs, blobs, mask) = _fov_flagship_qps(B)
+    x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                         (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+    assert (status == 0).all()
+
+    f32 = jnp.float32
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=200, polish=True))
+    st32 = State(pos=pos.astype(f32), vel=vel.astype(f32))
+    lb_s, ub_s = jax.vmap(ctrl.shared_bounds)(st32)
+    x_now = jnp.concatenate([st32.pos, st32.vel], -1)
+    H = ctrl.impc.cbf_horizon
+    pred0 = jnp.broadcast_to(x_now[:, None, :], (B, H, 6)).astype(f32)
+    active0 = jnp.arange(H) == 0
+    A_d, lb_d, ub_d = jax.vmap(
+        lambda p, v, nb, mk, pr: ctrl.dynamic_rows(
+            State(pos=p, vel=v), nb, mk, pr, active0)
+    )(st32.pos, st32.vel, blobs.astype(f32), mask, pred0)
+    q = jax.vmap(op.linear_cost)(x_now, refs.astype(f32))
+    if ctrl.S:
+        def slack_w(cur_pos, blob, mk):
+            d = jax.vmap(lambda nb: ctrl._neighbor_distance(cur_pos, nb))(blob)
+            d = jnp.where(mk, d, jnp.inf)
+            from mpc_cbf_tpu.controllers.mpc_cbf import _rank_weights
+            return _rank_weights(d, ctrl.impc.slack_cost,
+                                 ctrl.impc.slack_decay_rate)
+        q = jnp.concatenate(
+            [q, jax.vmap(slack_w)(st32.pos, blobs.astype(f32), mask)], axis=-1)
+    else:
+        q = jnp.concatenate([q, jnp.zeros((B, ctrl.n - op.n_dec), f32)], -1)
+
+    sol = simpc.op_qp.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d)
+    assert bool(np.all(np.asarray(sol.certified))), (
+        f"uncertified lanes: {np.nonzero(~np.asarray(sol.certified))[0]}")
+    U = np.asarray(op.U_basis)
+    u_ref = x_ref[:, :36] @ U.T
+    dev = np.abs(np.asarray(sol.z[:, :36], np.float64) @ U.T - u_ref).max()
+    assert dev < 1e-3, f"fov flagship polished f32 deviation: {dev}"
 
 
 def test_polish_dense_f32_entry_meets_accuracy_bar():

@@ -60,7 +60,13 @@ def test_structured_matches_dense_fov_with_slack():
     impc = IMPCParams(slack_mode=True, impc_iter=1)
     ctrl = FovIMPCCBF(op, cbf, impc, N, box_half_extents=[0.1, 0.1, 0.0],
                       solver=ADMMConfig(iters=2000))
-    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=3000))
+    # 10k iters: the fixed-rho structured solver needs ~3x the iterations
+    # of the dense adaptive-rho comparator on slack-saturated fov lanes
+    # (measured: lane-5 curve cost 251.6 at 3k iters -> oracle-exact
+    # 186.71 at 10k). The production ACCURACY path closes the same gap
+    # with the f64 polish at 200 iters (test_polish.py fov flagship test);
+    # this test pins the raw solver's asymptotic correctness.
+    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=10000))
 
     rng = np.random.default_rng(1)
     # feasible geometry: ego near origin, neighbors on a 2.5-4 m ring
