@@ -122,6 +122,8 @@ def build(mode: str, batch: int, accuracy: str = ""):
 
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    if batch == 0:
+        batch = None  # "0" = use the mode default (lets spec be argv[2])
     spec = sys.argv[2] if len(sys.argv) > 2 else "fov"
     mode, _, accuracy = spec.partition("+")
 

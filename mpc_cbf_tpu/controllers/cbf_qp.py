@@ -193,8 +193,15 @@ class ConnectivityCBFController:
     def n(self) -> int:
         return 3 + self.S
 
-    def assemble(self, robot_states: Array, self_idx: Array, desired_u: Array) -> QPBatch:
-        """robot_states [R, 6]; self_idx scalar int; desired_u [3]."""
+    def assemble(self, robot_states: Array, self_idx: Array, desired_u: Array,
+                 lam2_eigvec=None) -> QPBatch:
+        """robot_states [R, 6]; self_idx scalar int; desired_u [3].
+
+        lam2_eigvec: optional precomputed (lambda2, eigvec) of the TEAM —
+        it is a per-team quantity, so callers vmapping over self_idx
+        should compute it ONCE and pass it in (control_all does); left
+        inside for single-robot parity with ConnectivityControl.cpp:69.
+        """
         R, S, n = self.R, self.S, self.n
         state = robot_states[self_idx]
         dt = robot_states.dtype
@@ -206,8 +213,9 @@ class ConnectivityCBFController:
             w = self.slack_cost * self.slack_decay ** jnp.arange(S, dtype=dt)
             q = q.at[3:].set(w)
 
-        # lambda2 of the whole team
-        lam2, eigvec = self.cbf.lambda2(robot_states[:, :2])
+        # lambda2 of the whole team (hoisted by control_all)
+        lam2, eigvec = (self.cbf.lambda2(robot_states[:, :2])
+                        if lam2_eigvec is None else lam2_eigvec)
         h_val = lam2 - self.cbf.epsilon
         use_conn = lam2 > self.LAMBDA2_THRESHOLD
 
@@ -286,8 +294,9 @@ class ConnectivityCBFController:
         )
 
     def control(self, robot_states: Array, self_idx: Array, desired_u: Array,
-                warm: Optional[Tuple[Array, Array]] = None) -> CBFControlResult:
-        qp = self.assemble(robot_states, self_idx, desired_u)
+                warm: Optional[Tuple[Array, Array]] = None,
+                lam2_eigvec=None) -> CBFControlResult:
+        qp = self.assemble(robot_states, self_idx, desired_u, lam2_eigvec)
         x0, y0 = warm if warm is not None else (None, None)
         sol = solve_batch(qp, self.solver, x0=x0, y0=y0)
         return CBFControlResult(
@@ -296,8 +305,12 @@ class ConnectivityCBFController:
         )
 
     def control_all(self, robot_states: Array, desired_us: Array) -> CBFControlResult:
-        """All robots in one vmapped solve: desired_us [R, 3]."""
-        qp = jax.vmap(lambda i, ud: self.assemble(robot_states, i, ud))(
+        """All robots in one vmapped solve: desired_us [R, 3]. The team
+        eigendecomposition runs ONCE here, not once per robot (the
+        reference recomputes it per robot call, ConnectivityControl.cpp:69
+        — a per-team quantity)."""
+        le = self.cbf.lambda2(robot_states[:, :2])
+        qp = jax.vmap(lambda i, ud: self.assemble(robot_states, i, ud, le))(
             jnp.arange(self.R), desired_us)
         sol = solve_batch(qp, self.solver)
         return CBFControlResult(

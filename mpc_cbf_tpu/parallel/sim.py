@@ -331,8 +331,11 @@ class CBFOnlySim:
 
             u, conv = jax.vmap(one)(jnp.arange(A), est_xy, est_cov)
         else:
+            # team eigendecomposition hoisted out of the per-robot vmap
+            le = ctrl.cbf.lambda2(allx[:, :2])
+
             def one(i):
-                res = ctrl.control(allx, i, u_des[i])
+                res = ctrl.control(allx, i, u_des[i], lam2_eigvec=le)
                 return res.u, res.converged
 
             u, conv = jax.vmap(one)(jnp.arange(A))

@@ -138,3 +138,40 @@ def test_vmap_over_agents_and_scenarios():
     ctrl_fn = jax.vmap(jax.vmap(ctrl.control))
     res = ctrl_fn(states, u_des, nbr, cov, mask)
     assert res.u.shape == (S, A, 3)
+
+
+def test_connectivity_team_eigh_hoisted_once():
+    """control_all computes the team eigendecomposition ONCE, outside the
+    per-robot vmap (the reference recomputes it per robot call,
+    ConnectivityControl.cpp:69 — it is a per-team quantity), and its rows
+    match per-robot assembly exactly."""
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+    from mpc_cbf_tpu.controllers import ConnectivityCBFController
+    from mpc_cbf_tpu.ops.qp import ADMMConfig
+
+    from mpc_cbf_tpu.controllers import MPCParams
+    MPC = MPCParams()
+    cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(MPC.v_min), jnp.asarray(MPC.v_max))
+    ctrl = ConnectivityCBFController(cbf, num_robots=4,
+                                     solver=ADMMConfig(iters=50))
+    rng = np.random.default_rng(0)
+    states = jnp.asarray(rng.normal(0, 1.5, (4, 6)))
+    us = jnp.asarray(rng.normal(0, 0.5, (4, 3)))
+
+    # structural: exactly ONE eigh in the hoisted batched assembly
+    def assemble_all(states, us):
+        le = cbf.lambda2(states[:, :2])
+        return jax.vmap(lambda i, ud: ctrl.assemble(states, i, ud, le))(
+            jnp.arange(4), us)
+
+    jaxpr = str(jax.make_jaxpr(assemble_all)(states, us))
+    # the primitive prints as "= eigh[..." once per call (its jit
+    # wrapper name also contains "eigh", so count the primitive form)
+    assert jaxpr.count("= eigh[") == 1, jaxpr.count("= eigh[")
+
+    # rows identical to per-robot (unhoisted) assembly
+    qp_h = assemble_all(states, us)
+    qp_u = jax.vmap(lambda i, ud: ctrl.assemble(states, i, ud))(
+        jnp.arange(4), us)
+    for a, b in zip(qp_h, qp_u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
