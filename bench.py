@@ -97,8 +97,14 @@ def build(mode: str, batch: int, accuracy: str = ""):
     if accuracy == "ipm":
         simpc = StructuredIMPC(ctrl, IPMConfig())
     else:
+        # iters_tail=64: IMPC iterations > 0 enter warm (previous
+        # iterate's primal + carried ADMM duals) and need only ~1/3 the
+        # cold budget — measured usable rate 47/64 at 200+64 warm vs
+        # 46/64 at 200+200 cold on the fov flagship ensemble
+        # (tests/test_warm_start.py pins this)
         simpc = StructuredIMPC(ctrl, StructuredConfig(
-            iters=solver_iters, polish=(accuracy == "polish")))
+            iters=solver_iters, iters_tail=64,
+            polish=(accuracy == "polish")))
 
     pos = jnp.asarray(rng.normal(0, 0.3, (batch, 3)), f32)
     vel = jnp.asarray(rng.normal(0, 0.5, (batch, 3)), f32)
@@ -145,8 +151,13 @@ def main() -> None:
         # force a host scalar readback: block_until_ready alone does not
         # actually wait for remote execution through the axon tunnel
         float(jnp.sum(out[0]))
+        return out
 
-    run_once()  # warmup / compile
+    out = run_once()  # warmup / compile
+    # usable-lane rate: the reference only counts CPLEX-OPTIMAL solves
+    # (MPCCBFFormationControl_example.cpp:150-164); a throughput number
+    # must carry the fraction of lanes whose result is actually flyable
+    success_rate = float(jnp.mean(out[1]))
 
     reps = 5
     t0 = time.perf_counter()
@@ -156,12 +167,17 @@ def main() -> None:
 
     qp_solves = batch * impc_iter
     solves_per_s = qp_solves / dt
-    name = f"mpccbf_{mode}_qp_solves_per_s" + (f"_{accuracy}" if accuracy else "")
+    # historical metric names: "…_polished" for the polish mode (kept for
+    # round-over-round comparability of the tracked series), "…_ipm" for ipm
+    suffix = {"": "", "polish": "_polished", "ipm": "_ipm"}[accuracy]
     print(json.dumps({
-        "metric": name,
+        "metric": f"mpccbf_{mode}_qp_solves_per_s{suffix}",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 10000.0, 3),
+        "success_rate": round(success_rate, 4),
+        "usable_solves_per_s": round(solves_per_s * success_rate, 1),
+        "batch": batch,
     }))
 
 

@@ -6,7 +6,9 @@ agent) pair is one lane of the fused Pallas ADMM batch — S*32 MPC-CBF
 QPs per IMPC iteration, 2 iterations per control step. On multiple
 hosts, shard the scenario axis with parallel.distributed.
 
-Usage: python benchmarks/swarm.py [scenarios] [agents] [steps]
+Usage: python benchmarks/swarm.py [scenarios] [agents] [steps] [mode]
+  mode: "connectivity" (default) or "fov" (flagship families: 4 CBF rows
+  x horizon per neighbor + Voronoi + ranked slack columns)
 """
 
 from __future__ import annotations
@@ -23,21 +25,30 @@ def main() -> None:
     import jax.numpy as jnp
 
     from mpc_cbf_tpu.types import State
-    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
+    from mpc_cbf_tpu.ops.cbf import ConnectivityCBF, FovCBF
     from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
     from mpc_cbf_tpu.controllers import (
         BezierParams, MPCParams, BezierMPCOperator, IMPCParams,
-        ConnectivityIMPCCBF, StructuredIMPC,
+        ConnectivityIMPCCBF, FovIMPCCBF, StructuredIMPC,
     )
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     A = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    mode = sys.argv[4] if len(sys.argv) > 4 else "connectivity"
 
     mpc = MPCParams()
     op = BezierMPCOperator(BezierParams(), mpc, dim=3)
-    cbf = ConnectivityCBF(1.0, 6.0, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
-    ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), A - 1)
+    if mode == "fov":
+        beta = 120.0 * np.pi / 180.0
+        cbf = FovCBF(beta, 0.3, 6.0, jnp.asarray(mpc.v_min),
+                     jnp.asarray(mpc.v_max))
+        ctrl = FovIMPCCBF(op, cbf, IMPCParams(slack_mode=True), A - 1,
+                          box_half_extents=np.array([0.1, 0.1, 0.0]))
+    else:
+        cbf = ConnectivityCBF(1.0, 6.0, jnp.asarray(mpc.v_min),
+                              jnp.asarray(mpc.v_max))
+        ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), A - 1)
     simpc = StructuredIMPC(ctrl, StructuredConfig(iters=100))
 
     rng = np.random.default_rng(0)
@@ -51,13 +62,19 @@ def main() -> None:
 
     @jax.jit
     def control_step(pos, vel):
-        allx = jnp.concatenate([pos, vel], -1)              # [S, A, 6]
-        blob = allx[:, others_idx]                          # [S, A, A-1, 6]
         B = S * A
+        if mode == "fov":
+            xy = pos[:, others_idx, :2]                     # [S, A, A-1, 2]
+            cov = jnp.broadcast_to(
+                jnp.array([0.05, 0.0, 0.05], jnp.float32), (S, A, A - 1, 3))
+            blob = jnp.concatenate([xy, cov], -1).reshape(B, A - 1, 5)
+        else:
+            allx = jnp.concatenate([pos, vel], -1)          # [S, A, 6]
+            blob = allx[:, others_idx].reshape(B, A - 1, 6)
         cur = State(pos=pos.reshape(B, 3), vel=vel.reshape(B, 3))
         ref = jnp.tile(jnp.asarray(goals.reshape(B, 3), jnp.float32),
                        (1, mpc.k_hor))
-        res = simpc.optimize_batch(cur, ref, blob.reshape(B, A - 1, 6),
+        res = simpc.optimize_batch(cur, ref, blob,
                                    jnp.ones((B, A - 1), bool))
         E0 = jnp.asarray(op.pw.eval_matrix([mpc.h], 0), jnp.float32)
         E1 = jnp.asarray(op.pw.eval_matrix([mpc.h], 1), jnp.float32)

@@ -1,28 +1,41 @@
 """Batched scenario sweep — the TPU-native replacement for ScaleScript.sh.
 
 Where the reference launches independent simulator processes in a bash loop
-(``experiments/bash/ScaleScript.sh:16-35``: num_robots 2-10 x 15 seeds in
-parallel via ``&``), here every seed of a size is one lane of a *batched
-scenario axis*: all seeds run in lockstep inside a single jitted rollout,
-sharded across the device mesh (``parallel.sharded_rollout``). A whole
-15-seed sweep costs barely more than one sim.
+(``experiments/bash/ScaleScript.sh:6-35``: num_robots 2-10 x FOV
+{120,240,360} x 15 seeds in parallel via ``&``), here every seed of a grid
+point is one lane of a *batched scenario axis*: all seeds run in lockstep
+inside a single jitted rollout, sharded across the device mesh
+(``parallel.sharded_rollout``). A whole 15-seed cell costs barely more
+than one sim, and grid cells that share (controller, R) reuse the
+compiled executable.
+
+The RSS-2025 grid axes (Statistics.py:24-35 panels):
+  --sizes        team sizes (reference: 2..10)
+  --fovs         FOV beta in degrees (reference: 120 240 360) — applies
+                 to the fov/single-shot/cbf-fov controllers
+  --slack-decays slack_decay_rate values (reference sweeps the decay of
+                 the distance-ranked slack weights)
 
 Usage:
   python -m mpc_cbf_tpu.apps.sweep --base configs/base_config.json \
-      --sizes 2 4 8 --seeds 8 --controller connectivity \
+      --sizes 2 4 6 8 10 --seeds 15 --controller fov \
+      --fovs 120 240 360 --slack-decays 0.1 \
       --sim-runtime 6.0 --out /tmp/sweep.jsonl [--platform cpu]
 """
 
 from __future__ import annotations
 
 import argparse
+import copy
 import json
 import time
 
 import numpy as np
 
 
-def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
+def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
+             fov=None, slack_decay=None):
+    """One grid cell: (controller, R, fov, slack_decay) x seeds lanes."""
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +45,12 @@ def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
     from mpc_cbf_tpu.utils.instances import circle_rotate_instance
     from mpc_cbf_tpu.utils import config as cfgmod
     from mpc_cbf_tpu.utils.metrics import instance_success
+
+    cfg = copy.deepcopy(cfg)
+    if fov is not None:
+        cfg.setdefault("fov_cbf_params", {})["beta"] = float(fov)
+    if slack_decay is not None:
+        cfg.setdefault("cbf_params", {})["slack_decay_rate"] = float(slack_decay)
 
     sim, mpc = build_sim(cfg, controller, R, solver_iters)
     inst = circle_rotate_instance(R, radius=max(2.0, R / 2.0))
@@ -62,6 +81,8 @@ def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
             collision_shape=coll, shape_type=shape_type)
         rows.append({
             "controller": controller, "num_robots": R, "seed": s,
+            "fov": float(fov) if fov is not None else None,
+            "slack_decay": float(slack_decay) if slack_decay is not None else None,
             "success": bool(ok), "makespan": makespan,
             "solver_success_rate":
                 float(np.asarray(res.success[s], np.float32).mean()),
@@ -70,12 +91,20 @@ def run_size(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05):
     return rows
 
 
+# backwards-compatible alias (pre-grid name)
+run_size = run_cell
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--base", required=True)
-    p.add_argument("--sizes", type=int, nargs="+", default=[2, 4, 8])
+    p.add_argument("--sizes", type=int, nargs="+", default=[2, 4, 6, 8, 10])
     p.add_argument("--seeds", type=int, default=8)
     p.add_argument("--controller", default="connectivity")
+    p.add_argument("--fovs", type=float, nargs="+", default=[None],
+                   help="FOV beta values in degrees (e.g. 120 240 360)")
+    p.add_argument("--slack-decays", type=float, nargs="+", default=[None],
+                   help="slack_decay_rate values (e.g. 0.1 0.3)")
     p.add_argument("--sim-runtime", type=float, default=6.0)
     p.add_argument("--solver-iters", type=int, default=200)
     p.add_argument("--out", default="sweep.jsonl")
@@ -95,12 +124,17 @@ def main(argv=None) -> int:
     for R in args.sizes:
         mpc = cfgmod.parse_mpc_params(cfg)
         steps = int(round(args.sim_runtime / mpc.h))
-        rows = run_size(cfg, args.controller, R, args.seeds, steps,
-                        args.solver_iters)
-        all_rows.extend(rows)
-        ok = sum(r["success"] for r in rows)
-        print(f"R={R}: {ok}/{len(rows)} success, "
-              f"batch wall {rows[0]['wall_s_batch']}s")
+        for fov in args.fovs:
+            for decay in args.slack_decays:
+                rows = run_cell(cfg, args.controller, R, args.seeds, steps,
+                                args.solver_iters, fov=fov, slack_decay=decay)
+                all_rows.extend(rows)
+                ok = sum(r["success"] for r in rows)
+                tag = "".join(
+                    [f" fov={fov:g}" if fov is not None else "",
+                     f" decay={decay:g}" if decay is not None else ""])
+                print(f"R={R}{tag}: {ok}/{len(rows)} success, "
+                      f"batch wall {rows[0]['wall_s_batch']}s")
 
     with open(args.out, "w") as f:
         for r in all_rows:

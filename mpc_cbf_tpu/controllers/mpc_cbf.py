@@ -76,6 +76,10 @@ class IMPCResult(NamedTuple):
     all_converged: Array   # bool: every iteration strictly converged
     pri_res: Array         # worst primal residual across iterations
     iterates: Array        # [impc_iter, n_dec] per-iteration solutions
+    # final ADMM duals (unscaled row coords; StructuredIMPC only, None on
+    # the dense path) — feed back as warm_duals to the next replan step
+    ys: Optional[Array] = None
+    yd: Optional[Array] = None
 
 
 def _rank_weights(distances: Array, w_init: float, decay: float) -> Array:
@@ -94,7 +98,18 @@ class _IMPCCBFBase:
     #: ADMM instead returns a near-feasible compromise — on a genuinely
     #: infeasible iter>0 QP that compromise is a minimal-violation point,
     #: which is strictly safer to fly than the relaxed iter-0 curve the
-    #: reference falls back to, ConnectivityIMPCCBF.cpp:203-211)
+    #: reference falls back to, ConnectivityIMPCCBF.cpp:203-211).
+    #:
+    #: QUANTIFIED (scripts/usable_eps_sweep.py: every baseline rotate
+    #: instance x both controllers x eps in {0, 0.01, 0.05}, 60 steps):
+    #: min pairwise separation never dropped below the CBF safety
+    #: distance at ANY eps, and 0.05 strictly IMPROVED closed-loop
+    #: outcomes on the fov flagship (6r: min_sep 1.20 -> 2.66 m, solver
+    #: success 0.35 -> 1.00; 8r: success 0.00 -> 0.77) — near-feasible
+    #: avoidance curves beat the eps=0 alternative of freezing on stale
+    #: curves. Connectivity rollouts are eps-insensitive (identical
+    #: trajectories at all three values). tests/test_usable_eps.py pins
+    #: the separation property.
     USABLE_PRI_EPS: float = 0.05
 
     #: number of CBF constraint families per neighbor (4 for FoV, 1 for conn)
@@ -594,12 +609,15 @@ class StructuredIMPC:
         """cfg: StructuredConfig (f32 ADMM, the throughput path — optionally
         +polish) or IPMConfig (f64 Mehrotra IPM, the certified-accuracy
         path replacing CPLEX, ops/qp/ipm.py)."""
+        import dataclasses as _dc
+
         from mpc_cbf_tpu.ops.qp.structured import StructuredConfig, StructuredQPOperator
         from mpc_cbf_tpu.ops.qp.ipm import IPMConfig, StructuredIPM
 
         self.ctrl = ctrl
         self.cfg = cfg if cfg is not None else StructuredConfig(iters=ctrl.solver.iters)
         P, A_s, eq_mask = ctrl.static_parts()
+        self.op_qp_tail = None
         if isinstance(self.cfg, IPMConfig):
             self.op_qp = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
             return
@@ -624,12 +642,27 @@ class StructuredIMPC:
                                           q_scale_hint=q_hint,
                                           polish_guard_rows=guards,
                                           polish_guard_groups=groups)
+        # warm solves (IMPC iterations > 0) enter with carried duals and a
+        # near-solution primal, so they can run a reduced budget — a
+        # second operator sharing the same problem family, built with the
+        # tail iteration count (only small [n,n] constants duplicated)
+        if self.cfg.iters_tail is not None and self.cfg.iters_tail != self.cfg.iters:
+            self.op_qp_tail = StructuredQPOperator(
+                P, A_s, eq_mask, ctrl.m_dynamic,
+                _dc.replace(self.cfg, iters=self.cfg.iters_tail),
+                q_scale_hint=q_hint, polish_guard_rows=guards,
+                polish_guard_groups=groups)
 
     def optimize_batch(self, current: State, ref_positions: Array,
                        neighbor_blob: Array, neighbor_mask: Array,
-                       warm: Optional[Array] = None) -> IMPCResult:
+                       warm: Optional[Array] = None,
+                       warm_duals=None) -> IMPCResult:
         """Batched IMPC: current [B, ...] State, ref [B, dim*K],
-        neighbor_blob [B, N, ...], neighbor_mask [B, N]."""
+        neighbor_blob [B, N, ...], neighbor_mask [B, N].
+
+        warm: [B, n] primal warm start (e.g. the h-shifted previous
+        curve). warm_duals: (ys [B, m_s], yd [B, m_d]) unscaled duals from
+        the previous replan step's IMPCResult (ADMM path only)."""
         ctrl, op = self.ctrl, self.ctrl.op
         H = ctrl.impc.cbf_horizon
         dt = current.pos.dtype
@@ -656,6 +689,7 @@ class StructuredIMPC:
         coeffs = jnp.zeros((B, op.n_dec), dt)
         best = jnp.zeros((B, op.n_dec), dt)
         x0 = warm if warm is not None else jnp.zeros((B, ctrl.n), dt)
+        ys0, yd0 = warm_duals if warm_duals is not None else (None, None)
         any_ok = jnp.zeros(B, bool)
         all_ok = jnp.ones(B, bool)
         worst = jnp.zeros(B, dt)
@@ -673,13 +707,19 @@ class StructuredIMPC:
                 lambda cur_p, cur_v, blob, mask, pr: ctrl.dynamic_rows(
                     State(pos=cur_p, vel=cur_v), blob, mask, pr, active)
             )(current.pos, current.vel, neighbor_blob, neighbor_mask, pred)
+            # iterations > 0 enter warm (previous iterate's primal AND
+            # duals) and may run the reduced tail budget
+            op_solve = self.op_qp if (it == 0 or self.op_qp_tail is None) \
+                else self.op_qp_tail
             if getattr(self.cfg, "polish", False):
-                sol = self.op_qp.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d,
-                                                x0=x0)
+                sol = op_solve.solve_polished(q, lb_s, ub_s, A_d, lb_d, ub_d,
+                                              x0=x0, ys0=ys0, yd0=yd0)
             else:
-                sol = self.op_qp.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
+                sol = op_solve.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0,
+                                     ys0=ys0, yd0=yd0)
             coeffs = sol.z[:, : op.n_dec]
             x0 = sol.z
+            ys0, yd0 = getattr(sol, "ys", None), getattr(sol, "yd", None)
             finite = jnp.all(jnp.isfinite(sol.z), axis=-1)
             usable = sol.converged | ((sol.pri_res <= ctrl.USABLE_PRI_EPS) & finite)
             best = jnp.where(usable[:, None], coeffs, best)
@@ -693,4 +733,5 @@ class StructuredIMPC:
                         jnp.where(last_finite[:, None], coeffs, best))
         return IMPCResult(coeffs=fly, success=any_ok,
                           flyable=any_ok | last_finite, all_converged=all_ok,
-                          pri_res=worst, iterates=jnp.stack(iterates, axis=0))
+                          pri_res=worst, iterates=jnp.stack(iterates, axis=0),
+                          ys=ys0, yd=yd0)

@@ -53,7 +53,16 @@ class IPMConfig:
     iters: int = 30
     tau: float = 0.995        # fraction-to-boundary
     eps_mu: float = 1e-10     # complementarity bar (relative to cost scale)
-    eps_feas: float = 1e-9    # primal/dual residual bar (relative)
+    eps_feas: float = 1e-9    # primal residual bar (relative)
+    #: stationarity bar (scaled coordinates, cost normalized to O(1)).
+    #: Calibrated on the fov flagship vs the exact oracle: the measured
+    #: worst-case slope of control deviation vs dual residual is ~7e2
+    #: (dual 3.5e-6 -> dev 2.4e-3; dual 2.3e-7 -> dev 3.0e-5), so
+    #: eps_dual = 1e-6 certifies deviation <~ 7e-4, inside the 1e-3
+    #: production bar. Lanes freeze at eps-level mu with r_d in the
+    #: 1e-8..2e-7 range on degenerate slack-heavy problems; a 1e-8-scale
+    #: dual bar would reject lanes whose actual deviation is ~1e-5.
+    eps_dual: float = 1e-6
     reg: float = 1e-11        # static Tikhonov term on the reduced Hessian
     #: lanes whose μ drops below this freeze (α := 0) — keeps nearly-exact
     #: lanes from seesawing once D spans ~1e12 of dynamic range
@@ -67,9 +76,10 @@ class IPMConfig:
 
 class IPMSolution(NamedTuple):
     z: Array          # [B, n] primal solution, ORIGINAL coordinates, f64
-    converged: Array  # [B] met the μ + feasibility bars
+    converged: Array  # [B] met the μ + primal AND dual feasibility bars
     mu: Array         # [B] final (scaled) complementarity measure
     pri_res: Array    # [B] relative bound violation of z
+    dual_res: Array   # [B] stationarity residual (scaled coordinates)
 
 
 class StructuredIPM:
@@ -131,8 +141,13 @@ class StructuredIPM:
     @partial(jax.jit, static_argnums=(0,))
     def solve(self, q: Array, lb_s: Array, ub_s: Array,
               A_d: Array, lb_d: Array, ub_d: Array,
-              x0: Optional[Array] = None) -> IPMSolution:
-        """q [B, n]; lb_s/ub_s [B, m_s]; A_d [B, m_d, n]; lb_d/ub_d [B, m_d]."""
+              x0: Optional[Array] = None,
+              ys0: Optional[Array] = None,
+              yd0: Optional[Array] = None) -> IPMSolution:
+        """q [B, n]; lb_s/ub_s [B, m_s]; A_d [B, m_d, n]; lb_d/ub_d [B, m_d].
+
+        ys0/yd0 are accepted for interface parity with
+        StructuredQPOperator and ignored, like x0 (see below)."""
         f64 = jnp.float64
         args = tuple(jnp.asarray(a, f64) for a in (q, lb_s, ub_s, A_d, lb_d, ub_d))
         # x0 is accepted for interface parity with StructuredQPOperator but
@@ -237,7 +252,14 @@ class StructuredIPM:
             # freeze BEFORE stepping: once μ is at the floor, D spans
             # ~1e15 of dynamic range and further steps can poison the
             # state (NaN duals observed) — a frozen lane keeps its
-            # (already certified) iterate untouched
+            # (already certified) iterate untouched. The freeze stays on
+            # μ ALONE deliberately: continuing to iterate from a
+            # collapsed μ degrades the primal even when r_d is unmet
+            # (measured on the fov flagship: freezing only at
+            # μ∧dual-feasible let 28/64 lanes keep stepping and pushed
+            # worst-lane control deviation from 8e-4 to 2.4e-3). A lane
+            # frozen with stationarity unmet is instead EXCLUDED from
+            # `converged` by the dual bar in the final diagnostics.
             frozen = frozen | (mu < cfg.mu_freeze)
 
             D = jnp.where(has_l, zl / g_l, 0.0) + jnp.where(has_u, zu / g_u, 0.0)
@@ -281,6 +303,17 @@ class StructuredIPM:
                 g_l * zl - sm + dt_a * dzl_a,
                 g_u * zu - sm - dt_a * dzu_a)
             a_p, a_d = max_step(g_l, g_u, zl, zu, dt, dz_l, dz_u)
+            # Equalize strongly asymmetric steps: when a_p and a_d differ
+            # by >5x, the larger side races ahead and μ collapses with the
+            # dual residual stalled — the lane then freezes non-stationary
+            # (up to 2.4e-3 control deviation observed on a degenerate fov
+            # lane certified-looking at μ=5e-11). Locking both sides to
+            # min(a_p, a_d) in that regime keeps μ and r_d falling
+            # together; symmetric lanes keep Mehrotra's separate steps.
+            a_eq = jnp.minimum(a_p, a_d)
+            asym = a_eq < 0.2 * jnp.maximum(a_p, a_d)
+            a_p = jnp.where(asym, a_eq, a_p)
+            a_d = jnp.where(asym, a_eq, a_d)
             step_ok = jnp.all(jnp.isfinite(dv), axis=1) \
                 & jnp.all(jnp.isfinite(dt), axis=1) \
                 & jnp.all(jnp.isfinite(dz_l) & jnp.isfinite(dz_u), axis=1) \
@@ -321,13 +354,21 @@ class StructuredIPM:
         # r_p (Gv - t) folds into pri via t's interiority; check it too
         pri = jnp.maximum(pri, jnp.max(jnp.abs(Gv - t) / bscale, axis=1))
         dual = jnp.max(jnp.abs(r_d), axis=1)
+        # every certified lane must meet ALL THREE bars — complementarity,
+        # primal feasibility, AND stationarity. (An earlier strict-μ/pri
+        # OR branch omitted the dual residual, so a lane whose μ collapsed
+        # under asymmetric a_p/a_d steps could report converged with
+        # stationarity unmet — a silently non-optimal "certified" control;
+        # measured: a lane at μ=5e-11 / dual=3.5e-6 deviated 2.4e-3 from
+        # the oracle, past the 1e-3 production bar. The step equalization
+        # above now keeps r_d falling with μ, and eps_dual is the
+        # deviation-calibrated stationarity bar — see IPMConfig.)
         conv = (mu < cfg.eps_mu * 10) & (pri < cfg.eps_feas * 10) \
-            & (dual < jnp.asarray(cfg.eps_feas) * 10)
-        # strict-bar pass used alongside: conservative but cheap
-        conv = conv | ((mu < cfg.eps_mu) & (pri < cfg.eps_feas))
+            & (dual < jnp.asarray(cfg.eps_dual))
 
         x = x_p + v @ self.Zb.T
-        return IPMSolution(z=x, converged=conv, mu=mu, pri_res=pri)
+        return IPMSolution(z=x, converged=conv, mu=mu, pri_res=pri,
+                           dual_res=dual)
 
     # row-scaled UNREDUCED shared inequality rows (for the x_p offset)
     def _asGs(self):

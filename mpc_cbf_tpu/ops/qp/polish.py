@@ -398,7 +398,11 @@ def polish_structured(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0,
         # worst-case equality count from the shared bounds of lane 0 —
         # callers with exact knowledge should pass max_eq
         max_eq = m_s
-    pool = min(max_eq + cfg.pool_extra, m_s + A_d.shape[1])
+    # guard rows enter the pool at priority 1e9 (above actives) — widen
+    # the pool by their count so they never displace pinnable slots on
+    # slack-heavy lanes with many near-active rows
+    pool = min(max_eq + len(guard_rows) + cfg.pool_extra,
+               m_s + A_d.shape[1])
     return _polish_jit(to64(P), to64(A_s), to64(q), to64(lb_s), to64(ub_s),
                        to64(A_d), to64(lb_d), to64(ub_d), to64(x0), cfg, pool,
                        tuple(int(i) for i in guard_rows),

@@ -48,20 +48,27 @@ class StructuredConfig:
     sigma: float = 1e-6
     rho: float = 0.1
     rho_eq_scale: float = 1e3
-    # Two-phase rho schedule: the first hi_frac*iters iterations run at
-    # rho*rho_hi_scale (all rows), the rest at rho, carrying the full
-    # (x, z, y) state across the switch. The fov flagship stalls near
-    # pri~1 at rho=0.1 (slack-coupled CBF rows need a stiff penalty to
-    # move) but rho=10 alone leaves ~1e0 control deviation vs the exact
-    # oracle at 800 iters (dual convergence slows). High-then-low gets
-    # both: feasibility from the stiff phase, optimality from the soft
-    # phase warm-started at a near-feasible point. Both Ms_inv
+    # Two-phase rho schedule, SOFT first then STIFF (see the phase build
+    # in __init__): the LAST min(hi_frac*iters, hi_iters_cap) iterations
+    # scale rho by rho_hi_scale on the slack-nonnegativity rows
+    # (polish_guard_rows) and the dynamic (CBF/Voronoi) rows ONLY —
+    # tracking rows keep the soft rho throughout (stiffening them was
+    # measured to wreck closed-loop goal tracking). The full (x, z, y)
+    # state carries across the switch: the soft phase makes cost/
+    # optimality progress, the stiff tail clamps feasibility of the
+    # slack-coupled rows from that near-optimal warm state (fov flagship
+    # measured 34/64 usable vs 25/64 soft-only). Both Ms_inv
     # factorizations are precomputed at build time — the schedule costs
     # one extra [n,n] matrix and one extra Woodbury precompute, no
     # in-loop work. rho_hi_scale=1 or hi_frac=0 recovers single-phase.
     rho_hi_scale: float = 100.0
     hi_frac: float = 0.5
     hi_iters_cap: int = 50
+    # iteration budget for WARM-started tail solves (IMPC iterations > 0,
+    # which enter with the previous iterate's primal AND duals): None =
+    # same as iters. Consumed by StructuredIMPC, which builds a second
+    # operator for the tail; this operator itself always runs cfg.iters.
+    iters_tail: Optional[int] = None
     alpha: float = 1.6
     eps_pri: float = 5e-3     # f32 bar (relative)
     refine_steps: int = 1
@@ -95,6 +102,13 @@ class StructuredSolution(NamedTuple):
     # on a fallback lane means only the ADMM bar — check certified for the
     # exact-oracle (<1e-3 control deviation) guarantee.
     certified: Array
+    # duals of the shared/dynamic rows in UNSCALED row coordinates
+    # ([B, m_s] / [B, m_d]): feed back as ys0/yd0 to warm-start the next
+    # solve of a nearby problem (IMPC iterations, successive replan
+    # steps). Unscaled so they survive the per-solve dynamic-row
+    # re-equilibration (e_d depends on A_d).
+    ys: Array
+    yd: Array
 
 
 def _chunked_inv(C: Array, chunk: int) -> Array:
@@ -213,17 +227,26 @@ class StructuredQPOperator:
     @partial(jax.jit, static_argnums=(0,))
     def solve(self, q: Array, lb_s: Array, ub_s: Array,
               A_d: Array, lb_d: Array, ub_d: Array,
-              x0: Optional[Array] = None) -> StructuredSolution:
+              x0: Optional[Array] = None,
+              ys0: Optional[Array] = None,
+              yd0: Optional[Array] = None) -> StructuredSolution:
         """q [B, n]; lb_s/ub_s [B, m_s]; A_d [B, m_d, n]; lb_d/ub_d [B, m_d].
+
+        x0 / ys0 / yd0: optional primal / dual warm starts. Duals are in
+        UNSCALED row coordinates (as returned in StructuredSolution.ys/yd
+        by a previous solve of a nearby problem); they are rescaled into
+        the current equilibration internally.
 
         Returns primal solutions in the ORIGINAL (unscaled) coordinates.
         """
         with jax.default_matmul_precision("highest"):
-            return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0)
+            return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0, ys0, yd0)
 
     def solve_polished(self, q: Array, lb_s: Array, ub_s: Array,
                        A_d: Array, lb_d: Array, ub_d: Array,
                        x0: Optional[Array] = None,
+                       ys0: Optional[Array] = None,
+                       yd0: Optional[Array] = None,
                        polish_cfg=None) -> StructuredSolution:
         """ADMM entry (any dtype, f32 in production) + f64 active-set polish.
 
@@ -235,7 +258,8 @@ class StructuredQPOperator:
         """
         from mpc_cbf_tpu.ops.qp.polish import polish_structured, PolishConfig
 
-        sol = self.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0)
+        sol = self.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0,
+                         ys0=ys0, yd0=yd0)
         res = polish_structured(
             self._P0, self._A_s0, q, lb_s, ub_s, A_d, lb_d, ub_d, sol.z,
             polish_cfg if polish_cfg is not None else PolishConfig(),
@@ -248,11 +272,14 @@ class StructuredQPOperator:
                               sol.pri_res),
             converged=sol.converged | res.ok,
             certified=res.ok,
+            ys=sol.ys, yd=sol.yd,
         )
 
     def _solve(self, q: Array, lb_s: Array, ub_s: Array,
                A_d: Array, lb_d: Array, ub_d: Array,
-               x0: Optional[Array] = None) -> StructuredSolution:
+               x0: Optional[Array] = None,
+               ys0: Optional[Array] = None,
+               yd0: Optional[Array] = None) -> StructuredSolution:
         # full-f32 matmuls: at 'default' precision these batched GEMMs run
         # as multi-pass bf16 on the MXU, which corrupts the Woodbury solve
         cfg = self.cfg
@@ -276,24 +303,37 @@ class StructuredQPOperator:
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             # any real-TPU backend (incl. the remote 'axon' plugin); the
-            # fused kernel needs f32 state. Past ~32 dynamic rows the
-            # per-lane Ad/WK tensors shrink the VMEM lane blocks below
-            # MXU-efficient widths, so wide-m_d problems (fov flagship,
-            # m_d=84) take the scan path whose per-iteration einsums stay
-            # large and batched. Under jax_enable_x64 the BlockSpec index
+            # fused kernel needs f32 state. Gate by VMEM: one 128-lane
+            # block's resident state (dominated by the per-lane Ad + WK
+            # tensors, 2*n*m_d floats each — the formula mirrors
+            # pallas_admm's block clamp) must fit the ~6 MB working
+            # budget. This admits the fov flagship (m_d=84, ~35 KB/lane:
+            # MEASURED 16.0k vs 9.7k solves/s against the scan path on
+            # v5e — the VMEM-resident iteration beats the HBM-streaming
+            # einsums even at 128-lane MXU width) and routes only
+            # genuinely oversized problems (e.g. 32-agent fov, m_d~370)
+            # to the scan path. Under jax_enable_x64 the BlockSpec index
             # maps trace as i64 and Mosaic fails to legalize the kernel
             # ("func.return (i64, i64)" — observed on v5e through the
             # axon backend), so x64 processes take the scan path too.
+            per_lane_bytes = 4 * (2 * n * self.m_d + 3 * n
+                                  + 6 * self.m_s + 8 * self.m_d)
             use_pallas = (jax.default_backend() not in ("cpu", "gpu")
-                          and dt == jnp.float32 and self.m_d <= 32
+                          and dt == jnp.float32
+                          and per_lane_bytes * 128 <= 6 * 1024 * 1024
                           and not jax.config.jax_enable_x64)
 
         # initial state (transposed layout)
         x = (x0 / D if x0 is not None else jnp.zeros_like(q)).T * 1.0  # [n, B]
         zs = jnp.clip((self.A_sb @ x).T, lbs, ubs)               # [B, m_s]
         zd = jnp.clip(jnp.einsum("bdj,jb->bd", Ad, x), lbd, ubd)
-        ys = jnp.zeros_like(zs)
-        yd = jnp.zeros_like(zd)
+        # dual warm start: incoming duals are UNSCALED (y_u = e·ŷ/γ from a
+        # previous solve, possibly under a different dynamic-row
+        # equilibration) — map into the current scaled coordinates.
+        ys = (ys0 * self.gamma / E_s[None, :]).astype(dt) \
+            if ys0 is not None else jnp.zeros_like(zs)
+        yd = (yd0 * self.gamma / e_d).astype(dt) \
+            if yd0 is not None else jnp.zeros_like(zd)
 
         # NOTE on duals at the phase switch: the raw y carries over
         # unchanged. Rescaling y to keep the scaled dual u = y/rho
@@ -388,4 +428,8 @@ class StructuredQPOperator:
             pri_res=pri,
             converged=(rel < cfg.eps_pri) & jnp.all(jnp.isfinite(x_out), axis=-1),
             certified=jnp.zeros(B, bool),
+            # duals back to unscaled coordinates (y_u = e·ŷ/γ) so the next
+            # solve can rescale them into ITS equilibration
+            ys=ys * E_s[None, :] / self.gamma,
+            yd=yd * e_d / self.gamma,
         )

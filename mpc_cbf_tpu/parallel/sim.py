@@ -102,11 +102,13 @@ class MultiAgentSim:
         )(jnp.arange(A))
 
     def control_step(self, states: State, goals: Array,
-                     warm: Optional[Array] = None):
+                     warm: Optional[Array] = None, warm_duals=None,
+                     return_duals: bool = False):
         """One replanning step for all agents from a common snapshot.
 
         states: [A, dim] State; goals: [A, dim]. Returns (coeffs [A, n],
-        success [A], flyable [A]).
+        success [A], flyable [A]) — plus (ys, yd) when return_duals
+        (structured path only; the duals warm-start the next replan step).
         """
         ctrl, op = self.controller, self.controller.op
         A = self.num_agents
@@ -123,7 +125,10 @@ class MultiAgentSim:
             blobs = self._blobs(states)
             ref = jnp.tile(goals, (1, op.mpc.k_hor))
             res = self._structured_impc().optimize_batch(
-                states, ref, blobs, jnp.ones((A, A - 1), bool), warm=warm)
+                states, ref, blobs, jnp.ones((A, A - 1), bool), warm=warm,
+                warm_duals=warm_duals)
+            if return_duals:
+                return res.coeffs, res.success, res.flyable, (res.ys, res.yd)
             return res.coeffs, res.success, res.flyable
 
         def one(i, warm_i):
@@ -138,7 +143,27 @@ class MultiAgentSim:
 
         warm_b = warm if warm is not None else jnp.zeros((A, ctrl.n), states.pos.dtype)
         coeffs, success, flyable = jax.vmap(one)(jnp.arange(A), warm_b)
+        if return_duals:
+            return coeffs, success, flyable, None
         return coeffs, success, flyable
+
+    def _shift_matrix(self) -> np.ndarray:
+        """[n_dec, n_dec] linear map c -> coefficients of the least-squares
+        fit (on the original piece grid) of the SAME curve advanced by h:
+        curve'(t) ~ curve(min(t + h, T)). Used to h-shift the primal warm
+        start across replan steps — after flying one period, the remaining
+        optimal trajectory is approximately the previous one time-shifted,
+        which is a far better solver entry than the unshifted coefficients
+        (the standard MPC warm-start shift, impossible in the reference's
+        cold-started CPLEX wrapper, CPLEX.cpp:35-178)."""
+        op = self.controller.op
+        T, h = float(op.pw.max_parameter), float(op.mpc.h)
+        ts = np.linspace(0.0, T, 8 * op.bezier.num_pieces + 1)
+        E = np.asarray(op.pw.eval_matrix(list(ts), 0))        # [M*dim, n]
+        Esh = np.asarray(op.pw.eval_matrix(
+            [min(t + h, T) for t in ts], 0))
+        S, *_ = np.linalg.lstsq(E, Esh, rcond=None)
+        return S
 
     def _age_eval_mats(self):
         """Eval operators for flying a curve its a-th period: row a maps
@@ -193,24 +218,42 @@ class MultiAgentSim:
         if key is None:
             key = jax.random.PRNGKey(0)
         n = self.controller.n
+        A = self.num_agents
+        dt = init.pos.dtype
+        SHIFT = jnp.asarray(self._shift_matrix(), dt)
+        # dual warm-start carry (structured path only): the previous
+        # step's ADMM duals, h-unshifted (row identities are stable
+        # across steps — same constraint families in the same slots)
+        if self.structured:
+            op_qp = self._structured_impc().op_qp
+            duals0 = (jnp.zeros((A, op_qp.m_s), dt),
+                      jnp.zeros((A, op_qp.m_d), dt))
+        else:
+            duals0 = None
 
         def step(carry, k):
-            states, warm, cur_coeffs, age, has_curve = carry
-            new_coeffs, success, fresh = self.control_step(states, goals, warm)
+            states, warm, duals, cur_coeffs, age, has_curve = carry
+            out = self.control_step(states, goals, warm, warm_duals=duals,
+                                    return_duals=True)
+            new_coeffs, success, fresh, new_duals = out
+            if new_duals is None:
+                new_duals = duals
             # agents with no flyable result keep their previous curve
             # (reference keeps flying trajs.back(), see fly())
             cur_coeffs = jnp.where(fresh[:, None], new_coeffs, cur_coeffs)
             new_states, age, has_curve = self.fly(
                 cur_coeffs, states, fresh, k, age, has_curve)
-            warm_new = jnp.zeros_like(warm).at[:, : cur_coeffs.shape[-1]].set(cur_coeffs)
-            return ((new_states, warm_new, cur_coeffs, age, has_curve),
+            # h-shifted primal warm start: next step replans from ~one
+            # period into the current curve
+            warm_new = jnp.zeros_like(warm).at[:, : cur_coeffs.shape[-1]].set(
+                cur_coeffs @ SHIFT.T)
+            return ((new_states, warm_new, new_duals, cur_coeffs, age, has_curve),
                     (new_states.pos, new_states.vel, success, cur_coeffs))
 
         keys = jax.random.split(key, num_steps)
-        A = self.num_agents
-        warm0 = jnp.zeros((A, n), init.pos.dtype)
-        carry0 = (init, warm0,
-                  jnp.zeros((A, self.controller.op.n_dec), init.pos.dtype),
+        warm0 = jnp.zeros((A, n), dt)
+        carry0 = (init, warm0, duals0,
+                  jnp.zeros((A, self.controller.op.n_dec), dt),
                   jnp.zeros(A, jnp.int32), jnp.zeros(A, bool))
         (final, *_), (tp, tv, succ, coeffs) = jax.lax.scan(step, carry0, keys)
         return SimResult(states=final, traj_pos=tp, traj_vel=tv,

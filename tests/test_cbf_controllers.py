@@ -173,5 +173,6 @@ def test_connectivity_team_eigh_hoisted_once():
     qp_h = assemble_all(states, us)
     qp_u = jax.vmap(lambda i, ud: ctrl.assemble(states, i, ud))(
         jnp.arange(4), us)
-    for a, b in zip(qp_h, qp_u):
+    # QPBatch is a dataclass pytree (not iterable) — compare its leaves
+    for a, b in zip(jax.tree.leaves(qp_h), jax.tree.leaves(qp_u)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
