@@ -1,0 +1,118 @@
+"""Batched dense linear solves that run in f64 on TPU.
+
+XLA:TPU implements f64 *arithmetic* (software-emulated) but NOT the f64
+LuDecomposition custom call that ``jax.scipy.linalg.lu_factor`` lowers
+to — the backend rejects ``f64[B,n,n]`` LU outright. The certified-
+accuracy polish path (ops/qp/polish.py) needs exactly that solve, so
+this module provides a hand-rolled batched LU with partial pivoting
+built from primitives the TPU does support in f64 (mul/add/div, argmax,
+gather/scatter), sequenced with ``lax.fori_loop``.
+
+On CPU (tests, oracle comparisons) the LAPACK-backed ``jax.scipy``
+routines are both faster and bit-hardened, so ``plu_factor``/
+``plu_solve`` dispatch on the default backend; ``_plu_factor_jax`` /
+``_plu_solve_jax`` are the portable implementations and are tested
+against LAPACK directly (tests/test_polish.py).
+
+The reference pipeline has no counterpart — its exact solves live in
+CPLEX (``qpcpp/src/solvers/CPLEX.cpp:35-178``); this is TPU plumbing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _plu_factor_jax(A):
+    """Batched LU with partial pivoting: A [B, n, n] -> (LU, perm).
+
+    LU packs unit-lower L (below the diagonal) and U (on/above); perm is
+    the ROW PERMUTATION as gather indices: ``A[perm]`` is the row order
+    the factorization applies, i.e. L @ U = A[:, perm] lane-wise. (This
+    differs from LAPACK's sequential-swap ``piv`` encoding.)
+    """
+    B, n, _ = A.shape
+    dtype = A.dtype
+    ar = jnp.arange(n)
+    perm0 = jnp.broadcast_to(ar, (B, n)).astype(jnp.int32)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny * 16, dtype)
+
+    def body(k, carry):
+        A, perm = carry
+        col = jnp.abs(A[:, :, k])
+        col = jnp.where(ar[None, :] < k, -1.0, col)
+        p = jnp.argmax(col, axis=1).astype(jnp.int32)       # [B]
+        # batched row swap k <-> p via a per-lane gather index
+        pk = p[:, None]
+        swap = jnp.where(ar[None, :] == k, pk,
+                         jnp.where(ar[None, :] == pk, k, ar[None, :]))
+        A = jnp.take_along_axis(A, swap[:, :, None], axis=1)
+        perm = jnp.take_along_axis(perm, swap, axis=1)
+        piv = A[:, k, k]
+        piv = jnp.where(jnp.abs(piv) < tiny,
+                        jnp.where(piv < 0, -tiny, tiny), piv)
+        A = A.at[:, k, k].set(piv)  # keep the guarded pivot as U[k,k]
+        below = (ar > k)[None, :]
+        mult = jnp.where(below, A[:, :, k] / piv[:, None], 0.0)  # [B, n]
+        # rank-1 update restricted to columns >= k: columns < k of row k
+        # hold STORED L multipliers and must not leak into lower rows
+        rowk = jnp.where((ar >= k)[None, :], A[:, k, :], 0.0)
+        A = A - mult[:, :, None] * rowk[:, None, :]
+        A = A.at[:, :, k].set(jnp.where(below, mult, A[:, :, k]))
+        return A, perm
+
+    LU, perm = jax.lax.fori_loop(0, n, body, (A, perm0))
+    return LU, perm
+
+
+def _plu_solve_jax(LU, perm, b):
+    """Solve A x = b from ``_plu_factor_jax`` output. b [B, n] -> x [B, n]."""
+    n = LU.shape[-1]
+    ar = jnp.arange(n)
+    x = jnp.take_along_axis(b, perm, axis=1)
+
+    def fwd(k, x):                                           # L y = Pb
+        xk = x[:, k]
+        upd = jnp.where((ar > k)[None, :], LU[:, :, k], 0.0)
+        return x - upd * xk[:, None]
+
+    x = jax.lax.fori_loop(0, n, fwd, x)
+
+    def bwd(i, x):                                           # U x = y
+        k = n - 1 - i
+        xk = x[:, k] / LU[:, k, k]
+        x = x.at[:, k].set(xk)
+        upd = jnp.where((ar < k)[None, :], LU[:, :, k], 0.0)
+        return x - upd * xk[:, None]
+
+    return jax.lax.fori_loop(0, n, bwd, x)
+
+
+def _use_lapack() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def plu_factor(A):
+    """Backend-dispatching batched LU factor; see module docstring."""
+    if _use_lapack():
+        return jax.scipy.linalg.lu_factor(A)
+    return _plu_factor_jax(A)
+
+
+def plu_solve(fac, b):
+    """Solve with a ``plu_factor`` result; b [B, n]."""
+    if _use_lapack():
+        return jax.scipy.linalg.lu_solve(fac, b[..., None])[..., 0]
+    return _plu_solve_jax(fac[0], fac[1], b)
+
+
+def spd_solve(M, b, jitter: float = 0.0):
+    """Batched SPD solve via Cholesky (supported in f64 on TPU).
+
+    M [B, k, k] symmetric positive (semi)definite, b [B, k].
+    """
+    if jitter:
+        M = M + jitter * jnp.eye(M.shape[-1], dtype=M.dtype)
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from mpc_cbf_tpu.types import Array, BIG
+from mpc_cbf_tpu.ops.qp.linsolve import plu_factor, plu_solve, spd_solve
 
 
 @dataclasses.dataclass(frozen=True)
@@ -228,10 +229,10 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
         s = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(K), axis=2), 1e-12))
         Ks = s[:, :, None] * K * s[:, None, :]
         rs = s * rhs
-        lu, piv = jax.scipy.linalg.lu_factor(Ks)
-        sols = jax.scipy.linalg.lu_solve((lu, piv), rs[..., None])[..., 0]
+        fac = plu_factor(Ks)   # TPU-safe f64 LU (ops/qp/linsolve.py)
+        sols = plu_solve(fac, rs)
         resid = rs - jnp.einsum("bij,bj->bi", Ks, sols)
-        sols = sols + jax.scipy.linalg.lu_solve((lu, piv), resid[..., None])[..., 0]
+        sols = sols + plu_solve(fac, resid)
         sol = s * sols
         x_new, y_g = sol[:, :n], sol[:, n:]
 
@@ -326,10 +327,10 @@ def _polish_chunk(P, A_s, q, lb_s, ub_s, A_d, lb_d, ub_d, x0, cfg: PolishConfig,
     #   min_y || P x + q + G' y ||  restricted to pinned columns
     r0 = jnp.einsum("ij,bj->bi", P, x_fin) + q           # [B, n]
     Gp = G * pin[:, :, None].astype(f64)
-    GG = jnp.einsum("bpj,bqj->bpq", Gp, Gp) \
-        + 1e-12 * jnp.eye(pool, dtype=f64)
+    GG = jnp.einsum("bpj,bqj->bpq", Gp, Gp)
     gy = -jnp.einsum("bpj,bj->bp", Gp, r0)
-    y_ls = jnp.linalg.solve(GG, gy[..., None])[..., 0]
+    # GG is SPD(+jitter): Cholesky — the TPU backend has no f64 LU
+    y_ls = spd_solve(GG, gy, jitter=1e-12)
     stat_vec = r0 + jnp.einsum("bpj,bp->bj", Gp, y_ls)
     stat = jnp.max(jnp.abs(stat_vec), axis=1) / qscale
 
