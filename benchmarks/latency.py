@@ -14,7 +14,11 @@ Usage: python benchmarks/latency.py [team_size] [num_teams] [mode]
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# runnable as a plain script: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -120,13 +120,16 @@ def structured_admm_iterations(
     m_d = Ad.shape[1]
     f32 = jnp.float32
 
-    # VMEM-aware block clamp: per-lane resident floats are dominated by
-    # Ad + WK (2 n m_d each) plus bounds/state vectors. Keep a block's
-    # state under ~6 MB so inputs + loop state + double buffering fit the
-    # ~16 MB VMEM (measured: 1024 lanes fit for m_d=6, n=40; 2048
-    # overflows).
-    per_lane_bytes = 4 * (2 * n * m_d + 3 * n + 6 * m_s + 8 * m_d)
-    vmem_budget = 6 * 1024 * 1024
+    # VMEM-aware block clamp. Scoped-VMEM accounting per lane: every
+    # blocked INPUT is double-buffered by the pipeline (2x), outputs and
+    # the kernel's loop state/temporaries land once each. Calibrated
+    # against a measured Mosaic scoped allocation: (n=36, m_s=126,
+    # m_d=6, ys/yd warm-started i/o) needs 16.86 MB at 1024 lanes
+    # (~16.5 KB/lane vs this formula's 12.1 KB — the 10 MB budget below
+    # absorbs that remaining untracked overhead: 10 MB/12.1 KB -> 768
+    # lanes -> ~12.7 MB actual, inside the 16 MB scoped limit).
+    per_lane_bytes = 4 * (4 * n * m_d + 8 * n + 14 * m_s + 18 * m_d)
+    vmem_budget = 10 * 1024 * 1024
     block_cap = max(128, (vmem_budget // per_lane_bytes) // 128 * 128)
     Bb = min(block, block_cap, max(128, 1 << (B - 1).bit_length()))
     B_pad = ((B + Bb - 1) // Bb) * Bb

@@ -316,11 +316,11 @@ class StructuredQPOperator:
             # maps trace as i64 and Mosaic fails to legalize the kernel
             # ("func.return (i64, i64)" — observed on v5e through the
             # axon backend), so x64 processes take the scan path too.
-            per_lane_bytes = 4 * (2 * n * self.m_d + 3 * n
-                                  + 6 * self.m_s + 8 * self.m_d)
+            per_lane_bytes = 4 * (4 * n * self.m_d + 8 * n
+                                  + 14 * self.m_s + 18 * self.m_d)
             use_pallas = (jax.default_backend() not in ("cpu", "gpu")
                           and dt == jnp.float32
-                          and per_lane_bytes * 128 <= 6 * 1024 * 1024
+                          and per_lane_bytes * 128 <= 10 * 1024 * 1024
                           and not jax.config.jax_enable_x64)
 
         # initial state (transposed layout)

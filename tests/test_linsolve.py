@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from mpc_cbf_tpu.ops.qp.linsolve import (
-    _plu_factor_jax, _plu_solve_jax, plu_factor, plu_solve, spd_solve,
+    _plu_factor_jax, _plu_solve_jax, mixed_lu_factor, mixed_lu_solve,
+    plu_factor, plu_solve, spd_solve,
 )
 
 pytestmark = pytest.mark.usefixtures("x64")
@@ -80,6 +81,56 @@ def test_dispatch_is_lapack_on_cpu():
     x = plu_solve(plu_factor(A), b)
     resid = jnp.einsum("bij,bj->bi", A, x) - b
     assert float(jnp.max(jnp.abs(resid))) < 1e-9
+
+
+def test_mixed_lu_refines_to_f64_accuracy():
+    """f32 factor + f64 iterative refinement must land at f64-class
+    backward error on Jacobi-scaled KKT-like systems (the TPU polish
+    path, where f64 LU is unsupported but f32 LU is a fast custom call)."""
+    rng = np.random.default_rng(7)
+    A = _random_kkt_like(rng, 16, 37, span=6.0)
+    # Jacobi scale as the polish does before solving
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(A), axis=2), 1e-12))
+    As = s[:, :, None] * A * s[:, None, :]
+    b = jnp.asarray(rng.normal(size=(16, 37)), jnp.float64)
+    x = mixed_lu_solve(mixed_lu_factor(As), b)
+    resid = jnp.einsum("bij,bj->bi", As, x) - b
+    rel = float(jnp.max(jnp.abs(resid))) / float(jnp.max(jnp.abs(b)))
+    assert rel < 1e-12, f"mixed-precision refinement stalled: rel={rel}"
+
+
+def test_polish_certifies_with_mixed_solver(monkeypatch):
+    """Full polish with the TPU mixed-precision solver forced on: the
+    connectivity flagship batch must still certify to < 1e-3 vs the
+    exact oracle (this is what runs on the TPU, where _use_lapack()
+    is False)."""
+    import mpc_cbf_tpu.ops.qp.linsolve as linsolve
+    from mpc_cbf_tpu.ops.qp.polish import polish_dense
+    from mpc_cbf_tpu.ops.qp.oracle import solve_oracle_batch
+    from mpc_cbf_tpu.ops.qp import ADMMConfig, solve_batch
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_oracle_deviation import _flagship_qps
+
+    monkeypatch.setattr(linsolve, "_use_lapack", lambda: False)
+    jax.clear_caches()   # drop LAPACK-path executables traced earlier
+    try:
+        B = 8
+        ctrl, op, qp, _ = _flagship_qps(B, seed=11)
+        x_ref, status = solve_oracle_batch(*(np.asarray(v) for v in
+                                             (qp.P, qp.q, qp.A, qp.lb, qp.ub)))
+        assert (status == 0).all()
+        qp32 = jax.tree.map(lambda a: a.astype(jnp.float32), qp)
+        sol = solve_batch(qp32, ADMMConfig(iters=200))
+        res = polish_dense(qp32, sol.z)
+        assert bool(np.all(np.asarray(res.ok))), \
+            f"mixed-solver polish failed to certify: ok={np.asarray(res.ok)}"
+        U = np.asarray(op.U_basis)
+        dev = np.abs(np.asarray(res.z[:, :36], np.float64) @ U.T
+                     - x_ref[:, :36] @ U.T).max()
+        assert dev < 1e-3, f"mixed-solver polished deviation: {dev}"
+    finally:
+        jax.clear_caches()
 
 
 def test_spd_solve_matches_direct():
