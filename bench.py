@@ -20,6 +20,9 @@ the certified-accuracy configuration for the connectivity variant
 Append "+ipm" to solve with the f64 batched Mehrotra IPM — the
 certified-accuracy configuration for the fov flagship (every lane to
 ~1e-8 typical deviation, tests/test_ipm.py).
+Append "+hybrid" for the f32-entry + f64-tail hybrid IPM
+(ops/qp/ipm.py::HybridIPM): the same certification bars at ~1/3 of the
+f64 iteration work — the fast certified configuration.
 
 Emits ONE JSON line:
   {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
@@ -100,6 +103,9 @@ def build(mode: str, batch: int, accuracy: str = ""):
 
     if accuracy == "ipm":
         simpc = StructuredIMPC(ctrl, IPMConfig())
+    elif accuracy == "hybrid":
+        from mpc_cbf_tpu.ops.qp.ipm import HybridIPMConfig
+        simpc = StructuredIMPC(ctrl, HybridIPMConfig())
     else:
         # iters_tail=64: IMPC iterations > 0 enter warm (previous
         # iterate's primal + carried ADMM duals) and need only ~1/3 the
@@ -138,7 +144,7 @@ def main() -> None:
     mode, _, accuracy = spec.partition("+")
 
     import jax
-    if accuracy in ("polish", "ipm"):
+    if accuracy in ("polish", "ipm", "hybrid"):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -173,7 +179,8 @@ def main() -> None:
     solves_per_s = qp_solves / dt
     # historical metric names: "…_polished" for the polish mode (kept for
     # round-over-round comparability of the tracked series), "…_ipm" for ipm
-    suffix = {"": "", "polish": "_polished", "ipm": "_ipm"}[accuracy]
+    suffix = {"": "", "polish": "_polished", "ipm": "_ipm",
+              "hybrid": "_hybrid"}[accuracy]
     print(json.dumps({
         "metric": f"mpccbf_{mode}_qp_solves_per_s{suffix}",
         "value": round(solves_per_s, 1),

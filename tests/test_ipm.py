@@ -131,3 +131,51 @@ def test_ipm_masked_neighbors_match_smaller_problem():
     dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
     assert dev.max() < 1e-3, dev.max()
     assert np.median(dev) < 1e-5, np.median(dev)
+
+
+def test_hybrid_ipm_fov_flagship_certifies():
+    """f32-entry + f64-tail hybrid (ops/qp/ipm.py::HybridIPM): ~1/3 the
+    f64 iteration work of the cold run, same certification quality. The
+    f32 state transfers via interiorization (warm_pad=1e-6) and
+    neighborhood centering (width 10 at mu >= 1e-4) — without those the
+    transfer measured 0.656 converged with shallow certifications
+    (converged-lane deviation 1.3e-3 > bar); with them, >= 95% of lanes
+    converge and EVERY converged lane beats the 1e-3 bar."""
+    from mpc_cbf_tpu.ops.qp.ipm import HybridIPM
+
+    B = 64
+    ctrl, op, qp, _ = _fov_flagship_qps(B, seed=5)
+    x_ref = _oracle(qp)
+    (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
+
+    hyb = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic)
+    sol = hyb.solve(*(jnp.asarray(a) for a in args))
+    conv = np.asarray(sol.converged)
+    assert conv.mean() >= 0.95, (
+        f"hybrid converged only {conv.mean():.3f}: "
+        f"mu={np.asarray(sol.mu)[~conv]}, dual={np.asarray(sol.dual_res)[~conv]}")
+
+    U = np.asarray(op.U_basis)
+    dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
+    assert dev[conv].max() < 1e-3, (
+        f"converged-lane deviation over the bar: {dev[conv].max()}")
+    # non-converged lanes must be flagged, not silently wrong — nothing to
+    # assert on their deviation, but the flag must be exposed (checked
+    # above via conv indexing)
+
+
+def test_hybrid_ipm_through_structured_impc():
+    """Full production route: StructuredIMPC(ctrl, HybridIPMConfig())
+    drives the hybrid through assembly + the IMPC loop."""
+    from mpc_cbf_tpu.types import State
+    from mpc_cbf_tpu.ops.qp.ipm import HybridIPMConfig
+    from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
+
+    B = 8
+    ctrl, op, qp, (pos, vel, refs, blobs, mask) = _fov_flagship_qps(B)
+    simpc = StructuredIMPC(ctrl, HybridIPMConfig())
+    ref = jnp.asarray(refs)
+    res = simpc.optimize_batch(State(pos=jnp.asarray(pos), vel=jnp.asarray(vel)),
+                               ref, jnp.asarray(blobs), jnp.asarray(mask))
+    assert bool(np.asarray(res.success).mean() >= 0.9)
+    assert np.isfinite(np.asarray(res.coeffs)).all()
