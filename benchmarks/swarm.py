@@ -53,7 +53,16 @@ def main() -> None:
         cbf = ConnectivityCBF(1.0, 6.0, jnp.asarray(mpc.v_min),
                               jnp.asarray(mpc.v_max))
         ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), A - 1)
-    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=100))
+    # fov at swarm scale: rows from ALL A-1 neighbors of a 32-agent ring
+    # are mostly beyond the Rs=6 sensing barrier (the rows are infeasible
+    # at entry — measured success 0.0 with an all-on mask), so fov mode
+    # range-masks neighbors to the sensing radius below, and the ~400-row
+    # per-lane QP needs a deeper ADMM budget than the 8-robot flagship
+    # (measured on the masked 32-agent ring: 100 iters -> 0.30 usable,
+    # 300 -> 0.81, 600 -> 1.00)
+    simpc = StructuredIMPC(ctrl, StructuredConfig(
+        iters=600 if mode == "fov" else 100,
+        iters_tail=200 if mode == "fov" else None))
 
     rng = np.random.default_rng(0)
     ang = 2 * np.pi * np.arange(A) / A
@@ -78,8 +87,13 @@ def main() -> None:
         cur = State(pos=pos.reshape(B, 3), vel=vel.reshape(B, 3))
         ref = jnp.tile(jnp.asarray(goals.reshape(B, 3), jnp.float32),
                        (1, mpc.k_hor))
-        res = simpc.optimize_batch(cur, ref, blob,
-                                   jnp.ones((B, A - 1), bool))
+        if mode == "fov":
+            # sensing-range neighbor mask (see the iteration-budget note)
+            d = jnp.linalg.norm(cur.pos[:, None, :2] - blob[:, :, :2], axis=-1)
+            mask = d < 5.5
+        else:
+            mask = jnp.ones((B, A - 1), bool)
+        res = simpc.optimize_batch(cur, ref, blob, mask)
         E0 = jnp.asarray(op.pw.eval_matrix([mpc.h], 0), jnp.float32)
         E1 = jnp.asarray(op.pw.eval_matrix([mpc.h], 1), jnp.float32)
         new_pos = (res.coeffs @ E0.T).reshape(S, A, 3)
