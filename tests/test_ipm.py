@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from mpc_cbf_tpu.ops.qp.ipm import IPMConfig, StructuredIPM
 from mpc_cbf_tpu.ops.qp.oracle import solve_oracle_batch
+from mpc_cbf_tpu.types import BIG
 
 from test_oracle_deviation import _flagship_qps, _fov_flagship_qps
 
@@ -140,25 +141,59 @@ def test_hybrid_ipm_fov_flagship_certifies():
     neighborhood centering (width 10 at mu >= 1e-4) — without those the
     transfer measured 0.656 converged with shallow certifications
     (converged-lane deviation 1.3e-3 > bar); with them, >= 95% of lanes
-    converge and EVERY converged lane beats the 1e-3 bar."""
+    converge and every converged lane meets the TWO-PART certificate:
+
+      (a) control deviation vs the exact oracle < 1e-3, OR
+      (b) the lane is e-equal-optimal: feasible to 1e-9 and objective
+          within 1e-5 (relative) of the oracle's.
+
+    Part (b) exists because ~1-3% of random fov lanes are DEGENERATE:
+    rank-decayed slack weights (50000 * 0.1^rank, rank up to 6 =>
+    effective weight ~5e-3) leave near-flat valleys through control
+    space, and two exact solvers legitimately land >1e-3 apart on the
+    same optimal face. Measured (seeds 0/7/11): every such lane is
+    feasible to ~1e-14 with objective within +-3e-7 relative of the
+    oracle — usually BELOW it (the oracle stopped first). A deviation
+    bound alone is not attainable there by ANY solver, CPLEX included."""
     from mpc_cbf_tpu.ops.qp.ipm import HybridIPM
 
     B = 64
-    ctrl, op, qp, _ = _fov_flagship_qps(B, seed=5)
-    x_ref = _oracle(qp)
-    (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
+    for seed in (0, 5, 11):
+        ctrl, op, qp, _ = _fov_flagship_qps(B, seed=seed)
+        x_ref = _oracle(qp)
+        (P, A_s, eq_mask), args = _split_structured(ctrl, qp)
 
-    hyb = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic)
-    sol = hyb.solve(*(jnp.asarray(a) for a in args))
-    conv = np.asarray(sol.converged)
-    assert conv.mean() >= 0.95, (
-        f"hybrid converged only {conv.mean():.3f}: "
-        f"mu={np.asarray(sol.mu)[~conv]}, dual={np.asarray(sol.dual_res)[~conv]}")
+        hyb = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic)
+        sol = hyb.solve(*(jnp.asarray(a) for a in args))
+        conv = np.asarray(sol.converged)
+        assert conv.mean() >= 0.95, (
+            f"seed {seed}: hybrid converged only {conv.mean():.3f}: "
+            f"mu={np.asarray(sol.mu)[~conv]}, "
+            f"dual={np.asarray(sol.dual_res)[~conv]}")
 
-    U = np.asarray(op.U_basis)
-    dev = np.abs((np.asarray(sol.z)[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
-    assert dev[conv].max() < 1e-3, (
-        f"converged-lane deviation over the bar: {dev[conv].max()}")
+        U = np.asarray(op.U_basis)
+        z = np.asarray(sol.z)
+        dev = np.abs((z[:, :36] - x_ref[:, :36]) @ U.T).max(axis=1)
+        assert np.median(dev[conv]) < 1e-5, np.median(dev[conv])
+
+        Pd = np.asarray(qp.P)
+        Pd = Pd if Pd.ndim == 2 else Pd[0]
+        qd, Ad = np.asarray(qp.q), np.asarray(qp.A)
+        lb, ub = np.asarray(qp.lb), np.asarray(qp.ub)
+        for i in np.nonzero(conv & (dev > 1e-3))[0]:
+            o_ipm = 0.5 * z[i] @ Pd @ z[i] + qd[i] @ z[i]
+            o_ref = 0.5 * x_ref[i] @ Pd @ x_ref[i] + qd[i] @ x_ref[i]
+            rel = (o_ipm - o_ref) / max(abs(o_ref), 1.0)
+            Ax = Ad[i] @ z[i]
+            bscale = np.maximum(1.0, np.maximum(
+                np.where(lb[i] > -BIG / 2, np.abs(lb[i]), 0.0),
+                np.where(ub[i] < BIG / 2, np.abs(ub[i]), 0.0)))
+            feas = max(np.max((lb[i] - Ax) / bscale),
+                       np.max((Ax - ub[i]) / bscale))
+            assert feas < 1e-9 and rel < 1e-5, (
+                f"seed {seed} lane {i}: dev={dev[i]:.2e} is neither inside "
+                f"the 1e-3 bar nor e-equal-optimal (feas={feas:.1e}, "
+                f"rel_obj={rel:.2e})")
     # non-converged lanes must be flagged, not silently wrong — nothing to
     # assert on their deviation, but the flag must be exposed (checked
     # above via conv indexing)
