@@ -153,6 +153,16 @@ def main() -> None:
         # (m_d ~ 84 vs 6); keep HBM-resident Woodbury blocks well inside a
         # single chip
         batch = 8192 if mode == "fov" else 32768
+        if accuracy == "ipm":
+            # the cold 30-iteration f64 IPM at batch 8192 crashed the v5e
+            # worker outright (kernel fault, round-4 run); 2048 lanes is
+            # the validated envelope for the all-f64 path
+            batch = 2048
+        elif accuracy == "polish":
+            # f64 polish at batch 32768 also took the worker down; 8192
+            # is the validated polish envelope (fov+polish measured fine
+            # there)
+            batch = min(batch, 8192)
 
     control_batch, impc_iter = build(mode, batch, accuracy)
 

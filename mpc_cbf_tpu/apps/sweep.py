@@ -34,8 +34,12 @@ import numpy as np
 
 
 def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
-             fov=None, slack_decay=None):
-    """One grid cell: (controller, R, fov, slack_decay) x seeds lanes."""
+             fov=None, slack_decay=None, radius=4.0):
+    """One grid cell: (controller, R, fov, slack_decay) x seeds lanes.
+
+    radius: circle radius for the rotate instance. The reference uses a
+    FIXED radius 4 for every team size
+    (``experiments/python/instances/generate_fov_instance.py:89``)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +57,7 @@ def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
         cfg.setdefault("cbf_params", {})["slack_decay_rate"] = float(slack_decay)
 
     sim, mpc = build_sim(cfg, controller, R, solver_iters)
-    inst = circle_rotate_instance(R, radius=max(2.0, R / 2.0))
+    inst = circle_rotate_instance(R, radius=radius)
     so = np.asarray(inst["tasks"]["so"])
     sf = np.asarray(inst["tasks"]["sf"])
 
@@ -105,6 +109,9 @@ def main(argv=None) -> int:
                    help="FOV beta values in degrees (e.g. 120 240 360)")
     p.add_argument("--slack-decays", type=float, nargs="+", default=[None],
                    help="slack_decay_rate values (e.g. 0.1 0.3)")
+    p.add_argument("--radius", type=float, default=4.0,
+                   help="instance circle radius (reference fixes 4.0: "
+                        "generate_fov_instance.py:89)")
     p.add_argument("--sim-runtime", type=float, default=6.0)
     p.add_argument("--solver-iters", type=int, default=200)
     p.add_argument("--out", default="sweep.jsonl")
@@ -127,7 +134,8 @@ def main(argv=None) -> int:
         for fov in args.fovs:
             for decay in args.slack_decays:
                 rows = run_cell(cfg, args.controller, R, args.seeds, steps,
-                                args.solver_iters, fov=fov, slack_decay=decay)
+                                args.solver_iters, fov=fov, slack_decay=decay,
+                                radius=args.radius)
                 all_rows.extend(rows)
                 ok = sum(r["success"] for r in rows)
                 tag = "".join(

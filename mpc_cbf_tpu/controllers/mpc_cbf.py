@@ -86,7 +86,10 @@ def _rank_weights(distances: Array, w_init: float, decay: float) -> Array:
     """w[i] = w_init * decay^rank(i), nearest first."""
     order = jnp.argsort(distances)
     ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return w_init * decay**ranks
+    # match the distances dtype: under x64 the Python-float arithmetic
+    # promotes to f64, and scattering that into the f32 cost vector is a
+    # dtype-promotion error in future JAX
+    return (w_init * decay**ranks).astype(distances.dtype)
 
 
 class _IMPCCBFBase:

@@ -80,6 +80,19 @@ class MultiAgentSim:
     #: (one fused Pallas ADMM launch for all agents) instead of vmapping
     #: the dense per-agent solver
     structured: bool = False
+    #: FoV mode: mask neighbors beyond this sensing radius out of the
+    #: constraint set (None = the controller's Rs). The reference's
+    #: estimator pipeline produces the same scoping physically — a target
+    #: outside the FOV range never gets measurement updates
+    #: (``pf_applications.cpp:8-45``; ``Geometry.cpp:60-74`` insideFOV
+    #: includes the range test), so its rows are driven by stale priors,
+    #: not true positions. Feeding TRUE far-teammate positions instead
+    #: (the naive sim shortcut) activates Rs-range rows against robots up
+    #: to 2x the sensing range away and drags the whole team inward —
+    #: measured on a 10-robot radius-5 ring: every robot stalls ~1.7 m
+    #: short of its goal with 99% solver convergence. Same rule as
+    #: benchmarks/swarm.py's sensing mask. <= 0 disables.
+    sensing_radius: Optional[float] = None
 
     def _structured_impc(self):
         from mpc_cbf_tpu.controllers.mpc_cbf import StructuredIMPC
@@ -100,6 +113,19 @@ class MultiAgentSim:
         return jax.vmap(
             lambda i: _neighbor_blob_connectivity(states, i, A)
         )(jnp.arange(A))
+
+    def _neighbor_mask(self, states: State, blobs: Array) -> Array:
+        """[A, A-1] sensing mask (see sensing_radius)."""
+        A = self.num_agents
+        if not isinstance(self.controller, FovIMPCCBF):
+            return jnp.ones((A, A - 1), bool)
+        rs = self.sensing_radius
+        if rs is None:
+            rs = float(self.controller.cbf.Rs)
+        if rs <= 0:
+            return jnp.ones((A, A - 1), bool)
+        d = jnp.linalg.norm(states.pos[:, None, :2] - blobs[:, :, :2], axis=-1)
+        return d <= rs
 
     def control_step(self, states: State, goals: Array,
                      warm: Optional[Array] = None, warm_duals=None,
@@ -123,22 +149,22 @@ class MultiAgentSim:
 
         if self.structured:
             blobs = self._blobs(states)
+            mask = self._neighbor_mask(states, blobs)
             ref = jnp.tile(goals, (1, op.mpc.k_hor))
             res = self._structured_impc().optimize_batch(
-                states, ref, blobs, jnp.ones((A, A - 1), bool), warm=warm,
+                states, ref, blobs, mask, warm=warm,
                 warm_duals=warm_duals)
             if return_duals:
                 return res.coeffs, res.success, res.flyable, (res.ys, res.yd)
             return res.coeffs, res.success, res.flyable
 
+        blobs_b = self._blobs(states)
+        mask_b = self._neighbor_mask(states, blobs_b)
+
         def one(i, warm_i):
             ref = jnp.tile(goals[i], op.mpc.k_hor)
-            if isinstance(ctrl, FovIMPCCBF):
-                blob = _neighbor_blob_fov(states, i, A, self.fov_cov_diag)
-            else:
-                blob = _neighbor_blob_connectivity(states, i, A)
             cur = State(pos=states.pos[i], vel=states.vel[i])
-            res = ctrl.optimize(cur, ref, blob, jnp.ones(A - 1, bool), warm=warm_i)
+            res = ctrl.optimize(cur, ref, blobs_b[i], mask_b[i], warm=warm_i)
             return res.coeffs, res.success, res.flyable
 
         warm_b = warm if warm is not None else jnp.zeros((A, ctrl.n), states.pos.dtype)

@@ -36,3 +36,40 @@ def test_structured_sim_matches_dense_behavior():
         dist = np.linalg.norm(d, axis=-1) + np.eye(4) * 1e9
         assert dist.min() > 1.0
         assert np.asarray(res.success).mean() > 0.9
+
+
+def test_fov_sensing_radius_masks_far_neighbors():
+    """FoV sims scope the constraint set to the sensing radius
+    (sim.py::MultiAgentSim.sensing_radius). The reference's estimator
+    produces the same scoping physically: a target beyond the FOV range
+    never gets measurement updates (pf_applications.cpp:8-45), so its
+    rows are never driven by true positions. Feeding true far-teammate
+    positions activates Rs-range rows against robots ~2 Rs away and
+    drags the team inward (measured: 10-robot radius-5 ring stalls
+    ~1.7 m short of every goal at 99% solver convergence)."""
+    from mpc_cbf_tpu.ops.cbf import FovCBF
+    from mpc_cbf_tpu.controllers import FovIMPCCBF
+
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    beta = 120.0 * np.pi / 180.0
+    cbf = FovCBF(beta, 0.3, 6.0, jnp.asarray(mpc.v_min), jnp.asarray(mpc.v_max))
+    ctrl = FovIMPCCBF(op, cbf, IMPCParams(slack_mode=True), 3,
+                      solver=ADMMConfig(iters=50))
+
+    # square: adjacent pairs ~5.7 m (inside Rs=6), diagonals 8 m (outside)
+    r = 4.0
+    so = np.array([[r, 0, 0], [0, r, 0], [-r, 0, 0], [0, -r, 0]], np.float32)
+    st = State(pos=jnp.asarray(so), vel=jnp.zeros((4, 3), jnp.float32))
+
+    sim = MultiAgentSim(ctrl, 4)
+    mask = np.asarray(sim._neighbor_mask(st, sim._blobs(st)))
+    assert mask.shape == (4, 3)
+    # each agent: 2 adjacent neighbors visible, 1 diagonal masked
+    assert (mask.sum(axis=1) == 2).all(), mask
+    # diagonal of agent 0 is agent 2 -> blob slot 1 (others = [1,2,3])
+    assert not mask[0, 1]
+
+    # sensing_radius <= 0 disables the mask
+    sim_off = MultiAgentSim(ctrl, 4, sensing_radius=0.0)
+    assert np.asarray(sim_off._neighbor_mask(st, sim_off._blobs(st))).all()
