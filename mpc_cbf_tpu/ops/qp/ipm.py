@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from mpc_cbf_tpu.types import Array, BIG
+from mpc_cbf_tpu.ops.qp.linsolve import chol_factor_jax, chol_solve_jax
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,9 +95,14 @@ class IPMConfig:
     #: instead of ~30 from cold (Gondzio-style warm-start centering)
     warm_center_width: float = 0.0
     warm_mu_floor: float = 1e-4
+    #: None = auto (hand-rolled Cholesky for f64 off-CPU — the
+    #: Cholesky/TriangularSolve custom calls dominate the f64 tail on
+    #: TPU; LAPACK on CPU); True/False forces. True is how CPU tests
+    #: exercise the TPU factorization path.
+    hand_chol: Optional[bool] = None
     #: "f64" (the certified path) or "f32". The f32 profile exists to run
     #: the SAME algorithm on the MXU at production speed as an ENTRY-POINT
-    #: generator for the f64 active-set polish (ops/qp/certify.py): at f32
+    #: generator for the f64 tail (HybridIPM below): at f32
     #: precision μ bottoms out near ~1e-6, which is orders closer to the
     #: optimum than an f32 ADMM iterate and identifies the active set
     #: crisply. Never certified by itself — pair with loosened bars, e.g.
@@ -121,7 +127,7 @@ class IPMSolution(NamedTuple):
     dual_res: Array   # [B] stationarity residual (scaled coordinates)
     #: final interior state (v, t, zl, zu) in SCALED coordinates — feed as
     #: ``state0`` to another StructuredIPM over the same problem family
-    #: (the hybrid f32 -> f64 pipeline in ops/qp/certify.py; both
+    #: (the hybrid f32 -> f64 pipeline, HybridIPM below; both
     #: operators derive identical scalings from the same inputs, so the
     #: state transfers across dtype to ~1e-7 relative)
     state: tuple
@@ -333,6 +339,10 @@ class StructuredIPM:
         eyef = jnp.eye(nz, dtype=f64)
 
         tiny = float(jnp.finfo(f64).tiny)
+        # backend-static dispatch: hand-rolled Cholesky for f64 off-CPU
+        # (see the kkt factor note in body); CPU keeps LAPACK-fast calls
+        use_hand_chol = cfg.hand_chol if cfg.hand_chol is not None else (
+            self.dt == jnp.float64 and jax.default_backend() != "cpu")
 
         def body(carry, _):
             v, t, zl, zu, frozen = carry
@@ -362,13 +372,23 @@ class StructuredIPM:
                              preferred_element_type=f64) \
                 + jnp.einsum("bmi,bm,bmj->bij", GdZ, D[:, m_si:], GdZ,
                              preferred_element_type=f64)
-            L = jnp.linalg.cholesky(H)
+            if use_hand_chol:
+                # f64 on TPU: the Cholesky/TriangularSolve custom calls
+                # lower through block-inversion paths whose f64 emulation
+                # dominated the whole certified solve (97% measured);
+                # the fori_loop factorization is pure mul/add f64
+                L = chol_factor_jax(H)
+                solve_L = partial(chol_solve_jax, L)
+            else:
+                L = jnp.linalg.cholesky(H)
+                solve_L = lambda rhs: jax.scipy.linalg.cho_solve(
+                    (L, True), rhs[..., None])[..., 0]
 
             def kkt_solve(rc_l, rc_u):
                 rhs = -r_d - rmatvec(
                     jnp.where(has_l, rc_l / g_l, 0.0)
                     - jnp.where(has_u, rc_u / g_u, 0.0) + D * r_p)
-                dv = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+                dv = solve_L(rhs)
                 dt = matvec(dv) + r_p
                 dz_l = jnp.where(has_l, -(rc_l + zl * dt) / g_l, 0.0)
                 dz_u = jnp.where(has_u, -(rc_u - zu * dt) / g_u, 0.0)

@@ -146,3 +146,57 @@ def spd_solve(M, b, jitter: float = 0.0):
         M = M + jitter * jnp.eye(M.shape[-1], dtype=M.dtype)
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+
+
+def chol_factor_jax(H):
+    """Batched Cholesky from f64-supported primitives only (no custom
+    call): right-looking rank-1 downdates under ``lax.fori_loop``.
+
+    Why: XLA:TPU *accepts* ``f64 Cholesky``/``TriangularSolve`` but
+    lowers them through block-diagonal inversion custom calls whose f64
+    emulation is orders slower than the equivalent mul/add graph — the
+    hybrid IPM's f64 tail measured 97% of the whole certified solve with
+    the custom calls on its [B,~20,~20] systems. This formulation is
+    B·n³/3 fused elementwise flops with no inversion.
+
+    NaN semantics match ``jnp.linalg.cholesky``: a non-SPD lane produces
+    NaN (sqrt of a negative pivot) that propagates through its factor —
+    callers' finite-step guards keep working. H [B, n, n] -> lower L.
+    """
+    n = H.shape[-1]
+    ar = jnp.arange(n)
+    L0 = jnp.zeros_like(H)
+
+    def body(j, carry):
+        A, L = carry
+        d = jnp.sqrt(A[:, j, j])                       # NaN if non-SPD
+        col = jnp.where((ar >= j)[None, :], A[:, :, j] / d[:, None], 0.0)
+        L = L.at[:, :, j].set(col)
+        A = A - col[:, :, None] * col[:, None, :]
+        return A, L
+
+    _, L = jax.lax.fori_loop(0, n, body, (H, L0))
+    return L
+
+
+def chol_solve_jax(L, b):
+    """Solve (L Lᵀ) x = b with a ``chol_factor_jax`` factor. b [B, n]."""
+    n = L.shape[-1]
+    ar = jnp.arange(n)
+
+    def fwd(j, x):                                      # L y = b
+        xj = x[:, j] / L[:, j, j]
+        x = x.at[:, j].set(xj)
+        upd = jnp.where((ar > j)[None, :], L[:, :, j], 0.0)
+        return x - upd * xj[:, None]
+
+    x = jax.lax.fori_loop(0, n, fwd, b)
+
+    def bwd(i, x):                                      # Lᵀ x = y
+        j = n - 1 - i
+        xj = x[:, j] / L[:, j, j]
+        x = x.at[:, j].set(xj)
+        upd = jnp.where((ar < j)[None, :], L[:, j, :], 0.0)
+        return x - upd * xj[:, None]
+
+    return jax.lax.fori_loop(0, n, bwd, x)

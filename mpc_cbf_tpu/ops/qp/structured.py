@@ -86,6 +86,14 @@ class StructuredConfig:
     # (BENCH_r02.json rc=1; re-measured at B=256 this round), so the
     # inverse runs chunked via lax.map
     inv_chunk: int = 128
+    # lanes per chunk for the WHOLE solve (lax.map over lane slices).
+    # The Woodbury precompute holds ~3 per-lane [m_d, m_d] tensors
+    # (Cp, Cp_inv, K) in HBM; at swarm scale they dominate — a 32-agent
+    # fov batch of 32768 lanes with m_d = 372 is 3 x 18.9 GB and fails
+    # AOT compile outright (HBM is 16 GB). None = auto: off below
+    # m_d = 128, else the largest power of two keeping those tensors
+    # within ~2.5 GB. Chunking only engages when it divides the batch.
+    lane_chunk: Optional[int] = None
     # f64 active-set polish after the ADMM iterations (ops/qp/polish.py):
     # certifies each lane to f64 optimality (<1e-3 control-deviation bar met
     # from an f32 ADMM entry); lanes that fail certification keep their
@@ -240,7 +248,35 @@ class StructuredQPOperator:
         Returns primal solutions in the ORIGINAL (unscaled) coordinates.
         """
         with jax.default_matmul_precision("highest"):
+            chunk = self._lane_chunk(q.shape[0])
+            if chunk:
+                B = q.shape[0]
+                # zero warm starts are exactly equivalent to None in
+                # _solve, so the mapped tuple can be uniform
+                x0f = x0 if x0 is not None else jnp.zeros_like(q)
+                ys0f = ys0 if ys0 is not None else jnp.zeros(lb_s.shape, q.dtype)
+                yd0f = yd0 if yd0 is not None else jnp.zeros(lb_d.shape, q.dtype)
+                resh = lambda a: a.reshape((B // chunk, chunk) + a.shape[1:])
+                out = jax.lax.map(
+                    lambda t: self._solve(*t),
+                    tuple(resh(jnp.asarray(a)) for a in
+                          (q, lb_s, ub_s, A_d, lb_d, ub_d, x0f, ys0f, yd0f)))
+                return jax.tree.map(
+                    lambda a: a.reshape((B,) + a.shape[2:]), out)
             return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0, ys0, yd0)
+
+    def _lane_chunk(self, B: int) -> int:
+        """Resolved lane-chunk size (0 = no chunking); see lane_chunk."""
+        c = self.cfg.lane_chunk
+        if c is None:
+            if self.m_d < 128:
+                return 0
+            per_lane = 3 * 4 * self.m_d * self.m_d      # 3 f32 [m_d, m_d]
+            c = 1 << int(np.floor(np.log2(
+                max(2_500_000_000 // per_lane, 256))))
+        if c <= 0 or B <= c or B % c != 0:
+            return 0
+        return c
 
     def solve_polished(self, q: Array, lb_s: Array, ub_s: Array,
                        A_d: Array, lb_d: Array, ub_d: Array,

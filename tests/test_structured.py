@@ -126,3 +126,48 @@ def test_structured_warm_start_consistency():
     res2 = simpc.optimize_batch(current, ref, blob, mask, warm=warm)
     err = np.max(np.abs(np.asarray(res1.coeffs) - np.asarray(res2.coeffs)))
     assert err < 5e-3
+
+
+def test_lane_chunked_solve_matches_unchunked():
+    """StructuredConfig.lane_chunk maps the WHOLE solve over lane slices
+    (the Woodbury precompute holds ~3 [m_d, m_d] tensors per lane in HBM;
+    a 32768-lane 32-agent fov batch is 3 x 18.9 GB and fails AOT compile
+    on a 16 GB v5e). Chunked and unchunked paths must agree exactly."""
+    B, N = 8, 3
+    op = BezierMPCOperator(BezierParams(), MPC, dim=3)
+    cbf = FovCBF(FOV120, 1.0, 8.0, MPC.v_min, MPC.v_max)
+    impc = IMPCParams(slack_mode=True, impc_iter=1)
+    ctrl = FovIMPCCBF(op, cbf, impc, N, box_half_extents=[0.1, 0.1, 0.0])
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.normal(0, 0.2, (B, 3)))
+    vel = jnp.asarray(rng.normal(0, 0.3, (B, 3)))
+    goals = jnp.asarray(rng.normal(0, 2.0, (B, 3)))
+    ang = rng.uniform(0, 2 * np.pi, (B, N))
+    rad = rng.uniform(2.5, 4.0, (B, N))
+    cov = np.broadcast_to(np.array([0.05, 0.0, 0.05]), (B, N, 3))
+    nbr = jnp.asarray(np.concatenate(
+        [(rad * np.cos(ang))[..., None], (rad * np.sin(ang))[..., None],
+         cov], axis=-1))
+    mask = jnp.ones((B, N), bool)
+    ref = jnp.tile(goals[:, None, :], (1, MPC.k_hor, 1)).reshape(B, -1)
+    st = State(pos=pos, vel=vel)
+
+    res_full = StructuredIMPC(ctrl, StructuredConfig(
+        iters=100, lane_chunk=0)).optimize_batch(st, ref, nbr, mask)
+    res_chunk = StructuredIMPC(ctrl, StructuredConfig(
+        iters=100, lane_chunk=4)).optimize_batch(st, ref, nbr, mask)
+    np.testing.assert_allclose(np.asarray(res_chunk.coeffs),
+                               np.asarray(res_full.coeffs), atol=1e-6)
+    assert (np.asarray(res_chunk.success)
+            == np.asarray(res_full.success)).all()
+
+    # auto rule: off below m_d = 128; sized for the [m_d, m_d] budget above
+    from mpc_cbf_tpu.ops.qp.structured import StructuredQPOperator
+    simpc = StructuredIMPC(ctrl, StructuredConfig())
+    assert simpc.op_qp._lane_chunk(32768) == 0          # m_d = 36 here
+    big = StructuredQPOperator.__new__(StructuredQPOperator)
+    big.m_d = 372
+    big.cfg = StructuredConfig()
+    assert big._lane_chunk(32768) == 1024
+    assert big._lane_chunk(1000) == 0                   # non-divisible
