@@ -52,12 +52,19 @@ def aggregate(rows):
         mk = np.asarray([r["makespan"] for r in g], dtype=float)
         mean, half = ci95_with_inf(mk[None])  # row-wise API (ComputeCI parity)
         mean, half = mean[0], half[0]
-        out.append({
+        row = {
             "controller": ctrl, "fov": fov, "slack_decay": decay,
             "num_robots": R, "n": len(g),
+            # strict scorer: collision-free AND final position at goal
             "success_rate": sum(r["success"] for r in g) / len(g),
             "makespan_mean": float(mean), "makespan_ci95": float(half),
-        })
+        }
+        # reference-faithful scorer (collision-only failure — see
+        # utils.metrics.instance_success_ref); present when the sweep
+        # emitted it (older JSONL files carry only the strict column)
+        if all("success_ref" in r for r in g):
+            row["success_ref_rate"] = sum(r["success_ref"] for r in g) / len(g)
+        out.append(row)
     return out
 
 
@@ -93,7 +100,11 @@ def plot(summary, path):
                 if not pts:
                     continue
                 R = [s["num_robots"] for s in pts]
-                ax1.plot(R, [s["success_rate"] for s in pts], "o-", label=c)
+                ax1.plot(R, [s["success_rate"] for s in pts], "o-",
+                         label=f"{c} (strict)")
+                if all("success_ref_rate" in s for s in pts):
+                    ax1.plot(R, [s["success_ref_rate"] for s in pts], "s--",
+                             alpha=0.7, label=f"{c} (ref)")
                 ax2.errorbar(R, [s["makespan_mean"] for s in pts],
                              yerr=[s["makespan_ci95"] for s in pts],
                              fmt="o-", capsize=3, label=c)
@@ -107,7 +118,8 @@ def plot(summary, path):
             ax1.set_xlabel("num robots"); ax1.set_ylabel("success rate")
             ax1.set_ylim(-0.05, 1.05); ax1.grid(alpha=0.3)
             ax1.legend(fontsize=8)
-            ax2.set_xlabel("num robots"); ax2.set_ylabel("makespan [s]")
+            # makespan is counted in replan STEPS (h-periods), not seconds
+            ax2.set_xlabel("num robots"); ax2.set_ylabel("makespan [steps]")
             ax2.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(path, dpi=130, bbox_inches="tight")
@@ -122,13 +134,15 @@ def main(argv=None) -> int:
 
     summary = aggregate(load_rows(args.results))
     hdr = (f"{'controller':>14} {'fov':>6} {'decay':>6} {'R':>3} {'n':>3} "
-           f"{'success':>8} {'makespan':>9} {'ci95':>7}")
+           f"{'strict':>8} {'ref':>6} {'makespan':>9} {'ci95':>7}")
     print(hdr)
     for s in summary:
         fov = f"{s['fov']:g}" if s["fov"] is not None else "-"
         dec = f"{s['slack_decay']:g}" if s["slack_decay"] is not None else "-"
+        ref = (f"{s['success_ref_rate']:.2f}"
+               if "success_ref_rate" in s else "-")
         print(f"{s['controller']:>14} {fov:>6} {dec:>6} {s['num_robots']:>3} "
-              f"{s['n']:>3} {s['success_rate']:>8.2f} "
+              f"{s['n']:>3} {s['success_rate']:>8.2f} {ref:>6} "
               f"{s['makespan_mean']:>9.2f} {s['makespan_ci95']:>7.2f}")
 
     if args.plot:

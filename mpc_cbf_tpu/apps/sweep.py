@@ -48,7 +48,7 @@ def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
     from mpc_cbf_tpu.parallel import make_mesh, sharded_rollout
     from mpc_cbf_tpu.utils.instances import circle_rotate_instance
     from mpc_cbf_tpu.utils import config as cfgmod
-    from mpc_cbf_tpu.utils.metrics import instance_success
+    from mpc_cbf_tpu.utils.metrics import instance_success, instance_success_ref
 
     cfg = copy.deepcopy(cfg)
     if fov is not None:
@@ -80,14 +80,21 @@ def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
     rows = []
     traj = np.asarray(res.traj_pos)   # [S, T, R, 3]
     for s in range(seeds):
+        # dual scoring: strict (collision + goal-reach — this repo's bar)
+        # AND the reference's collision-only semantics (its goal-miss
+        # return is commented out, collision_check.py:56-59) so grid
+        # tables compare apples-to-apples with reference-scored runs
+        tr = traj[s].transpose(1, 0, 2)
         ok, makespan = instance_success(
-            traj[s].transpose(1, 0, 2), sf, radius=1.0,
-            collision_shape=coll, shape_type=shape_type)
+            tr, sf, radius=1.0, collision_shape=coll, shape_type=shape_type)
+        ok_ref, makespan_ref = instance_success_ref(
+            tr, sf, radius=1.0, collision_shape=coll, shape_type=shape_type)
         rows.append({
             "controller": controller, "num_robots": R, "seed": s,
             "fov": float(fov) if fov is not None else None,
             "slack_decay": float(slack_decay) if slack_decay is not None else None,
             "success": bool(ok), "makespan": makespan,
+            "success_ref": bool(ok_ref), "makespan_ref": makespan_ref,
             "solver_success_rate":
                 float(np.asarray(res.success[s], np.float32).mean()),
             "wall_s_batch": round(wall, 2), "steps": steps,

@@ -339,10 +339,13 @@ class StructuredIPM:
         eyef = jnp.eye(nz, dtype=f64)
 
         tiny = float(jnp.finfo(f64).tiny)
-        # backend-static dispatch: hand-rolled Cholesky for f64 off-CPU
-        # (see the kkt factor note in body); CPU keeps LAPACK-fast calls
+        # backend-static dispatch: hand-rolled Cholesky for f64 on TPU-like
+        # backends only — the custom-call pathology is TPU f64 EMULATION;
+        # CPU (LAPACK) and GPU (cuSOLVER) have fast native f64
+        # factorizations that beat the sequential fori_loop
         use_hand_chol = cfg.hand_chol if cfg.hand_chol is not None else (
-            self.dt == jnp.float64 and jax.default_backend() != "cpu")
+            self.dt == jnp.float64
+            and jax.default_backend() not in ("cpu", "gpu"))
 
         def body(carry, _):
             v, t, zl, zu, frozen = carry

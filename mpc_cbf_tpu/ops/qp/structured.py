@@ -248,7 +248,7 @@ class StructuredQPOperator:
         Returns primal solutions in the ORIGINAL (unscaled) coordinates.
         """
         with jax.default_matmul_precision("highest"):
-            chunk = self._lane_chunk(q.shape[0])
+            chunk = self._lane_chunk(q.shape[0], jnp.dtype(q.dtype).itemsize)
             if chunk:
                 B = q.shape[0]
                 # zero warm starts are exactly equivalent to None in
@@ -265,17 +265,29 @@ class StructuredQPOperator:
                     lambda a: a.reshape((B,) + a.shape[2:]), out)
             return self._solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0, ys0, yd0)
 
-    def _lane_chunk(self, B: int) -> int:
-        """Resolved lane-chunk size (0 = no chunking); see lane_chunk."""
+    def _lane_chunk(self, B: int, itemsize: int = 4) -> int:
+        """Resolved lane-chunk size (0 = no chunking); see lane_chunk.
+
+        itemsize: bytes per element of the solve's compute dtype — under
+        jax_enable_x64/f64 the Woodbury tensors are 8 bytes/element and
+        the auto budget must halve the lane count accordingly."""
         c = self.cfg.lane_chunk
         if c is None:
             if self.m_d < 128:
                 return 0
-            per_lane = 3 * 4 * self.m_d * self.m_d      # 3 f32 [m_d, m_d]
+            per_lane = 3 * itemsize * self.m_d * self.m_d  # 3 [m_d, m_d]
             c = 1 << int(np.floor(np.log2(
                 max(2_500_000_000 // per_lane, 256))))
-        if c <= 0 or B <= c or B % c != 0:
+        if c <= 0 or B <= c:
             return 0
+        if B % c != 0:
+            # a non-dividing batch must NOT silently disable chunking (the
+            # unchunked swarm solve is exactly the 3x18.9 GB AOT failure
+            # this feature exists to avoid) — fall back to the largest
+            # divisor of B that fits the budget
+            c = max((d for d in range(1, c + 1) if B % d == 0), default=0)
+            if c <= 1:
+                return 0
         return c
 
     def solve_polished(self, q: Array, lb_s: Array, ub_s: Array,

@@ -92,6 +92,20 @@ class MultiAgentSim:
     #: measured on a 10-robot radius-5 ring: every robot stalls ~1.7 m
     #: short of its goal with 99% solver convergence. Same rule as
     #: benchmarks/swarm.py's sensing mask. <= 0 disables.
+    #:
+    #: DELIBERATELY range-only: the reference's insideFOV
+    #: (``Geometry.cpp:60-74``) also gates on the angular half-FOV, but an
+    #: in-range out-of-cone target still gets constraint rows in the
+    #: reference — fed by the estimator's (stale) prior, not dropped
+    #: (``filter_node.cpp`` publishes an estimate per target regardless of
+    #: visibility; the FOV-border CBF rows exist precisely to steer the
+    #: cone TOWARD such targets, and masking them would delete the
+    #: visibility-maintenance constraint family). Range-only scoping
+    #: models "never measured, prior never initialized"; angular staleness
+    #: is intentionally approximated by true positions (conservative —
+    #: true position is the estimator's asymptote while the target was
+    #: recently visible). Full estimator-in-the-loop behavior is available
+    #: via CBFOnlySim(use_pf=True).
     sensing_radius: Optional[float] = None
 
     def _structured_impc(self):

@@ -72,6 +72,44 @@ def instance_success(
     return True, float(makespan)
 
 
+def instance_success_ref(
+    traj: np.ndarray, goals: np.ndarray, radius: float = 1.0,
+    collision_shape=(0.2, 0.2), shape_type: str = "box",
+) -> Tuple[bool, float]:
+    """(success, makespan) with the REFERENCE's exact scoring semantics.
+
+    The reference's ``collision_check.py:48-80`` fails an instance on
+    pairwise collision ONLY — its goal-reach check prints "Cannot reach
+    goal area..." but the ``return False`` is commented out (:56-59), and
+    the loop returns ``True, ts`` even if robots never reach their goals.
+    ``instance_success`` above is the STRICT scorer (collision + final
+    position at goal); this one reproduces the reference so grid
+    comparisons are apples-to-apples. Report both (see apps/statistics.py
+    success_strict / success_ref columns).
+
+    Makespan: first step by which all robots have visited their goal
+    area (the reference's ``max(0, t-1)`` early-exit), else T.
+    """
+    traj = np.asarray(traj)
+    goals = np.asarray(goals)
+    if not np.all(np.isfinite(traj)):
+        return False, float("inf")
+    xy = traj[..., :2]
+    if shape_type == "box":
+        col = pairwise_box_collisions(xy, collision_shape)
+    elif shape_type == "circle":
+        col = pairwise_circle_collisions(xy, collision_shape)
+    else:
+        raise ValueError(f"unknown shape_type {shape_type}")
+    if col.any():
+        return False, float("inf")
+    dist_to_goal = np.linalg.norm(xy - goals[:, None, :2], axis=-1)  # [R, T]
+    reached_by = (dist_to_goal <= radius).cumsum(axis=1) > 0
+    all_reached = reached_by.all(axis=0)
+    makespan = int(np.argmax(all_reached)) if all_reached.any() else traj.shape[1]
+    return True, float(makespan)
+
+
 def avg_neighbors_in_fov(
     traj: np.ndarray, fov: float, rng: float
 ) -> float:

@@ -46,6 +46,38 @@ def test_instance_success_goal_miss():
     assert not ok
 
 
+def test_instance_success_ref_collision_only():
+    """The reference scorer fails on collision ONLY: its goal-miss
+    `return False` is commented out (collision_check.py:56-59)."""
+    # goal miss: strict fails, ref passes (makespan = T, never all-reached)
+    T = 4
+    traj = np.zeros((2, T, 3))
+    traj[1, :, 1] = 3.0
+    goals = np.array([[5.0, 0, 0], [0.0, 3.0, 0]])
+    ok_strict, _ = metrics.instance_success(traj, goals, radius=0.5)
+    ok_ref, mk_ref = metrics.instance_success_ref(traj, goals, radius=0.5)
+    assert not ok_strict and ok_ref and mk_ref == T
+
+    # collision: both fail (T=5 puts both robots at the origin at t=2)
+    traj2 = np.zeros((2, 5, 3))
+    traj2[0, :, 0] = np.linspace(-1, 1, 5)
+    traj2[1, :, 0] = np.linspace(1, -1, 5)
+    goals2 = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    ok_ref2, mk2 = metrics.instance_success_ref(traj2, goals2, radius=0.5)
+    assert not ok_ref2 and mk2 == float("inf")
+
+    # clean goal-reaching run: both pass with the same finite makespan
+    t = np.linspace(0, 1, 10)
+    traj3 = np.zeros((2, 10, 3))
+    traj3[0, :, 0] = -2 + 2 * t
+    traj3[1, :, 0] = 2 - 2 * t
+    traj3[1, :, 1] = 1.5
+    goals3 = np.array([[0.0, 0.0, 0.0], [0.0, 1.5, 0.0]])
+    ok_s, mk_s = metrics.instance_success(traj3, goals3, radius=0.5)
+    ok_r, mk_r = metrics.instance_success_ref(traj3, goals3, radius=0.5)
+    assert ok_s and ok_r and mk_s == mk_r
+
+
 def test_ci95():
     s = np.random.default_rng(0).normal(5.0, 1.0, size=(3, 400))
     mean, ci = metrics.ci95(s)
