@@ -14,15 +14,21 @@ Modes (second positional arg, default "fov"):
                 columns, m_d ~ 84.
   connectivity  ConnectivityIMPCCBF, 3 neighbors (the cheapest variant;
                 kept for round-over-round comparability).
+The raw fov path solves with the f32 Mehrotra IPM (round 5 — interior
+iterates are feasible by construction; usable-lane rate 0.99 vs the
+fused ADMM's 0.69, same ~16k lanes/s; BENCH_SOLVER=admm reverts).
 Append "+polish" to run the f64 active-set polish after the f32 ADMM —
 the certified-accuracy configuration for the connectivity variant
 (<1e-3 control deviation vs the exact oracle, tests/test_polish.py).
-Append "+ipm" to solve with the f64 batched Mehrotra IPM — the
-certified-accuracy configuration for the fov flagship (every lane to
-~1e-8 typical deviation, tests/test_ipm.py).
+Append "+ipm" to solve with the f64 batched Mehrotra IPM — every lane
+to ~1e-8 typical deviation (tests/test_ipm.py).
 Append "+hybrid" for the f32-entry + f64-tail hybrid IPM
-(ops/qp/ipm.py::HybridIPM): the same certification bars at ~1/3 of the
-f64 iteration work — the fast certified configuration.
+(ops/qp/ipm.py::HybridIPM) — full certification bars on both IMPC
+iterations.
+Append "+certified" for the SHIPPING certified pipeline (HYBRID_PROD):
+f32-entry-only iter 0 + entry + calibrated 8-iteration f64 tail on
+iter 1; the flown curve carries the <1e-3 two-part certificate
+(certified_rate in the output).
 
 Emits ONE JSON line:
   {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N/10000}
@@ -106,6 +112,23 @@ def build(mode: str, batch: int, accuracy: str = ""):
     elif accuracy == "hybrid":
         from mpc_cbf_tpu.ops.qp.ipm import HybridIPMConfig
         simpc = StructuredIMPC(ctrl, HybridIPMConfig())
+    elif accuracy == "certified":
+        # the round-5 shipping certified pipeline: f32-entry-only IMPC
+        # iter 0 + entry + calibrated 8-iteration f64 tail on iter 1
+        # (ops/qp/ipm.py::HYBRID_PROD; bars measured to imply the <1e-3
+        # two-part certificate with zero leaks, scripts/calibrate_tail.py)
+        from mpc_cbf_tpu.ops.qp.ipm import HYBRID_PROD
+        simpc = StructuredIMPC(ctrl, HYBRID_PROD)
+    elif accuracy == "" and mode == "fov" \
+            and os.environ.get("BENCH_SOLVER", "ipm") != "admm":
+        # fov raw production path (round 5): the f32 Mehrotra IPM at the
+        # same ~16k lanes/s as the fused ADMM kernel but with INTERIOR
+        # (feasible-by-construction) iterates — usable-lane rate 0.993 vs
+        # ADMM's 0.69, whose failures stall on the sampled accel/vel
+        # bound rows (92% of failed lanes, scripts/diagnose_fov_failures).
+        # BENCH_SOLVER=admm reverts to the fused-ADMM path.
+        from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
+        simpc = StructuredIMPC(ctrl, IPM_F32_ENTRY)
     else:
         # iters_tail=64: IMPC iterations > 0 enter warm (previous
         # iterate's primal + carried ADMM duals) and need only ~1/3 the
@@ -131,7 +154,7 @@ def build(mode: str, batch: int, accuracy: str = ""):
     def control_batch():
         ref = jnp.tile(goals[:, None, :], (1, mpc.k_hor, 1)).reshape(batch, -1)
         res = simpc.optimize_batch(State(pos=pos, vel=vel), ref, nbr, mask)
-        return res.coeffs, res.success
+        return res.coeffs, res.success, res.certified
 
     return control_batch, impc.impc_iter
 
@@ -144,7 +167,7 @@ def main() -> None:
     mode, _, accuracy = spec.partition("+")
 
     import jax
-    if accuracy in ("polish", "ipm", "hybrid"):
+    if accuracy in ("polish", "ipm", "hybrid", "certified"):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -178,6 +201,9 @@ def main() -> None:
     # (MPCCBFFormationControl_example.cpp:150-164); a throughput number
     # must carry the fraction of lanes whose result is actually flyable
     success_rate = float(jnp.mean(out[1]))
+    # flown-curve certification rate (<1e-3 two-part certificate) — only
+    # certifying configs set it (see IMPCResult.certified)
+    certified_rate = float(jnp.mean(out[2]))
 
     reps = 5
     t0 = time.perf_counter()
@@ -190,7 +216,7 @@ def main() -> None:
     # historical metric names: "…_polished" for the polish mode (kept for
     # round-over-round comparability of the tracked series), "…_ipm" for ipm
     suffix = {"": "", "polish": "_polished", "ipm": "_ipm",
-              "hybrid": "_hybrid"}[accuracy]
+              "hybrid": "_hybrid", "certified": "_certified"}[accuracy]
     print(json.dumps({
         "metric": f"mpccbf_{mode}_qp_solves_per_s{suffix}",
         "value": round(solves_per_s, 1),
@@ -198,6 +224,8 @@ def main() -> None:
         "vs_baseline": round(solves_per_s / 10000.0, 3),
         "success_rate": round(success_rate, 4),
         "usable_solves_per_s": round(solves_per_s * success_rate, 1),
+        "certified_rate": round(certified_rate, 4),
+        "certified_solves_per_s": round(solves_per_s * certified_rate, 1),
         "batch": batch,
     }))
 

@@ -52,7 +52,13 @@ def main() -> None:
         cbf = ConnectivityCBF(1.0, 4.0, jnp.asarray(mpc.v_min),
                               jnp.asarray(mpc.v_max))
         ctrl = ConnectivityIMPCCBF(op, cbf, IMPCParams(), A - 1)
-    simpc = StructuredIMPC(ctrl, StructuredConfig(iters=200))
+    if mode == "fov":
+        # round-5 fov production solver (mirrors bench.py): f32 Mehrotra
+        # IPM — usable rate 0.99 vs the fused ADMM's 0.69
+        from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
+        simpc = StructuredIMPC(ctrl, IPM_F32_ENTRY)
+    else:
+        simpc = StructuredIMPC(ctrl, StructuredConfig(iters=200))
 
     B = A * teams
     rng = np.random.default_rng(0)

@@ -83,9 +83,17 @@ def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
                              solver=solver)
             return BezierMPCSim(ctrl, num_robots, noise_pos_std=pos_std,
                                 noise_vel_std=vel_std), mpc
-        # one fused Pallas ADMM launch per step for the whole agent batch
+        # one structured solver launch per step for the whole agent batch.
+        # fov runs the round-5 production solver (f32 Mehrotra IPM —
+        # interior iterates, usable rate 0.99 vs the fused ADMM's 0.69);
+        # other controllers keep the fused Pallas ADMM.
+        solver_cfg = None
+        if controller == "fov":
+            from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
+            solver_cfg = IPM_F32_ENTRY
         return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
-                             noise_vel_std=vel_std, structured=True), mpc
+                             noise_vel_std=vel_std, structured=True,
+                             solver_cfg=solver_cfg), mpc
 
     # single-step controllers read the same slack knobs as the reference
     # examples (CBFFormationControl_example.cpp:94-96,165)

@@ -89,12 +89,22 @@ def run_cell(cfg, controller, R, seeds, steps, solver_iters, start_noise=0.05,
             tr, sf, radius=1.0, collision_shape=coll, shape_type=shape_type)
         ok_ref, makespan_ref = instance_success_ref(
             tr, sf, radius=1.0, collision_shape=coll, shape_type=shape_type)
+        # per-seed diagnostics: failure CAUSE is readable from the row
+        # (collision vs goal-miss vs solver stall) without re-running
+        xy = tr[..., :2]                                   # [R, T, 2]
+        dmat = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        iu = np.triu_indices(R, k=1)
+        min_sep = float(dmat[iu].min()) if R > 1 else float("inf")
+        final_goal_dist = float(np.linalg.norm(
+            xy[:, -1] - sf[:, :2], axis=-1).max())
         rows.append({
             "controller": controller, "num_robots": R, "seed": s,
             "fov": float(fov) if fov is not None else None,
             "slack_decay": float(slack_decay) if slack_decay is not None else None,
             "success": bool(ok), "makespan": makespan,
             "success_ref": bool(ok_ref), "makespan_ref": makespan_ref,
+            "min_separation": round(min_sep, 3),
+            "final_goal_dist_max": round(final_goal_dist, 3),
             "solver_success_rate":
                 float(np.asarray(res.success[s], np.float32).mean()),
             "wall_s_batch": round(wall, 2), "steps": steps,

@@ -80,6 +80,12 @@ class IMPCResult(NamedTuple):
     # the dense path) — feed back as warm_duals to the next replan step
     ys: Optional[Array] = None
     yd: Optional[Array] = None
+    # [B] bool: the LAST iteration's solution (the curve flown whenever it
+    # is usable) carries the <1e-3 deviation certificate — set only by
+    # certifying solvers (f64 IPM / hybrid tail bars, active-set polish);
+    # always False on raw-f32 paths (StructuredIMPC only, None on the
+    # dense path)
+    certified: Optional[Array] = None
 
 
 def _rank_weights(distances: Array, w_init: float, decay: float) -> Array:
@@ -623,7 +629,16 @@ class StructuredIMPC:
         P, A_s, eq_mask = ctrl.static_parts()
         self.op_qp_tail = None
         if isinstance(self.cfg, HybridIPMConfig):
-            self.op_qp = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
+            hyb = HybridIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
+            if self.cfg.entry_only_first:
+                # production-certified pipeline: iteration 0 runs ONLY the
+                # f32 entry (it just seeds iter-1's predicted-state rows);
+                # iterations > 0 run the full entry + f64 tail and carry
+                # the certificate for the flown curve (HybridIPMConfig)
+                self.op_qp = hyb.entry
+                self.op_qp_tail = hyb
+            else:
+                self.op_qp = hyb
             return
         if isinstance(self.cfg, IPMConfig):
             self.op_qp = StructuredIPM(P, A_s, eq_mask, ctrl.m_dynamic, self.cfg)
@@ -738,7 +753,16 @@ class StructuredIMPC:
         last_finite = jnp.all(jnp.isfinite(coeffs), axis=-1)
         fly = jnp.where(any_ok[:, None], best,
                         jnp.where(last_finite[:, None], coeffs, best))
+        # certificate of the flown curve: the LAST iteration's solution is
+        # the flown one whenever usable, and only certifying solvers'
+        # converged flag means <1e-3 deviation (see IMPCResult.certified)
+        if hasattr(sol, "certified"):      # ADMM family: per-lane polish
+            cert = sol.certified
+        elif getattr(op_solve, "certifies", False):
+            cert = sol.converged           # f64 IPM / hybrid calibrated bars
+        else:
+            cert = jnp.zeros(B, bool)
         return IMPCResult(coeffs=fly, success=any_ok,
                           flyable=any_ok | last_finite, all_converged=all_ok,
                           pri_res=worst, iterates=jnp.stack(iterates, axis=0),
-                          ys=ys0, yd=yd0)
+                          ys=ys0, yd=yd0, certified=cert)

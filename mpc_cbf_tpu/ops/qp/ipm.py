@@ -142,6 +142,10 @@ class StructuredIPM:
 
     def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
                  m_d: int, cfg: IPMConfig = IPMConfig()):
+        #: only the f64 profiles' convergence bars are deviation-
+        #: calibrated certificates; an f32 profile's `converged` means
+        #: "reached the f32 floor", never <1e-3 accuracy
+        self.certifies = cfg.dtype == "f64"
         if cfg.dtype == "f64" and not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "StructuredIPM is the f64 certified path; enable "
@@ -501,13 +505,50 @@ class StructuredIPM:
 #: f64 iteration work.
 IPM_F64_TAIL = IPMConfig(iters=10, warm_pad=1e-6, warm_center_width=10.0)
 
+#: PRODUCTION-calibrated tail (round 5, scripts/calibrate_tail{,2}.py on
+#: the 2048-lane fov flagship ensemble vs a cold 40-iteration f64
+#: reference): the default tail drives mu to ~1e-10 — far past the 1e-3
+#: deviation contract — so its bars waste f64 iterations. Bars
+#: (mu < 1e-8, dual < 1e-5) are the loosest with ZERO false
+#: certifications at every tail length measured (8/10/12/14 iterations:
+#: every accepted lane has deviation < 1e-3 or is e-equal-optimal;
+#: looser bars (mu < 1e-6, dual < 1e-4) leak 0.2-0.5% false
+#: certificates — measured, rejected). Acceptance on IMPC iter-1
+#: problems: 8 it = 0.941, 10 it = 0.975, 12 it = 0.983, 14 it = 0.985.
+#: 12 is the shipping point: the remaining ~1.5% of lanes are the
+#: measured PIPELINE CEILING, not an iteration shortfall — their tail
+#: runs genuinely stall (rejected-lane median deviation 0.55, relative
+#: objective gaps to 1e2) and even the cold 40-iteration f64 reference
+#: only converges 0.978 of this ensemble at strict bars. warm_mu_floor
+#: stays 1e-4: dropping it to 1e-5 HALVED acceptance at every tail
+#: length (the f32 state is genuinely off-path in its small coordinates;
+#: re-centering shallower does not stick).
+IPM_F64_TAIL_PROD = IPMConfig(iters=12, warm_pad=1e-6,
+                              warm_center_width=10.0,
+                              eps_mu=1e-9, eps_dual=1e-5)
+
 
 @dataclasses.dataclass(frozen=True)
 class HybridIPMConfig:
     """Configuration marker for the f32->f64 hybrid certified solver:
-    StructuredIMPC builds a HybridIPM when given one of these."""
+    StructuredIMPC builds a HybridIPM when given one of these.
+
+    entry_only_first: run ONLY the f32 entry for IMPC iteration 0 and the
+    full hybrid for iterations > 0 (the production-certified pipeline).
+    Iteration 0's sole downstream role is seeding the predicted states
+    that place iteration 1's CBF rows — the FLOWN curve is iteration 1's
+    solution, and the per-QP certificate applies to that solve. Skipping
+    iter-0's f64 tail erases ~45% of the pipeline's f64 work.
+    """
     entry: IPMConfig = IPM_F32_ENTRY
     tail: IPMConfig = IPM_F64_TAIL
+    entry_only_first: bool = False
+
+
+#: the shipping certified configuration (see HybridIPMConfig and
+#: IPM_F64_TAIL_PROD): f32-only IMPC iter 0, entry + calibrated 8-it f64
+#: tail on iter 1. Certification rate and throughput measured in BENCH.md.
+HYBRID_PROD = HybridIPMConfig(tail=IPM_F64_TAIL_PROD, entry_only_first=True)
 
 
 class HybridIPM:
@@ -517,10 +558,24 @@ class HybridIPM:
     IPM runs the bulk of the path-following on fast hardware arithmetic
     (mu to ~1e-5..1e-6, the f32 floor), its final interior state is
     re-interiorized and neighborhood-centered (IPMConfig.warm_*), and a
-    ~10-iteration f64 run finishes to full certification. Same solve()
+    short f64 run finishes to full certification. Same solve()
     interface and IPMSolution result as StructuredIPM; the reference
     comparison point is still CPLEX (qpcpp/src/solvers/CPLEX.cpp:35-178).
+
+    MEASURED NEGATIVE RESULT (round 5, scripts/calibrate_tail.py): reusing
+    the tail's interior state across IMPC iterations (solve iter-1 with
+    state0 = iter-0's tail state, skipping the f32 entry) converges 0.1%
+    of lanes at any tail length 5-10. The dynamic rows change IDENTITY
+    between IMPC iterations (iter 0 activates only horizon step 0; iter 1
+    re-places all rows at predicted states), so the transferred duals/
+    slacks pair with different constraints and the warm start is
+    adversarial, not helpful. Per-iteration fresh entries are the right
+    structure; entry_only_first captures the real saving instead.
     """
+
+    #: solutions whose `converged` flag is set meet the deviation-
+    #: calibrated certificate (the f64 tail's bars) — see StructuredIMPC
+    certifies = True
 
     def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
                  m_d: int, cfg: HybridIPMConfig = HybridIPMConfig()):

@@ -145,6 +145,10 @@ class StructuredQPOperator:
     (lb == ub per problem construction — e.g. init/continuity rows).
     """
 
+    #: the f32 ADMM bar is NOT an accuracy certificate; per-lane
+    #: certification comes only from solve_polished (Solution.certified)
+    certifies = False
+
     def __init__(self, P: np.ndarray, A_s: np.ndarray, eq_mask_s: np.ndarray,
                  m_d: int, cfg: StructuredConfig = StructuredConfig(),
                  dtype=jnp.float32, q_scale_hint: float = 0.0,

@@ -80,6 +80,12 @@ class MultiAgentSim:
     #: (one fused Pallas ADMM launch for all agents) instead of vmapping
     #: the dense per-agent solver
     structured: bool = False
+    #: solver configuration for the structured path: a StructuredConfig
+    #: (fused f32 ADMM), IPMConfig (Mehrotra IPM — IPM_F32_ENTRY is the
+    #: round-5 fov production profile: interior iterates are feasible by
+    #: construction, usable rate 0.99 vs ADMM's 0.69), or HybridIPMConfig
+    #: (certified). None = StructuredConfig(iters=controller.solver.iters).
+    solver_cfg: object = None
     #: FoV mode: mask neighbors beyond this sensing radius out of the
     #: constraint set (None = the controller's Rs). The reference's
     #: estimator pipeline produces the same scoping physically — a target
@@ -113,7 +119,8 @@ class MultiAgentSim:
         from mpc_cbf_tpu.ops.qp.structured import StructuredConfig
 
         if not hasattr(self, "_simpc_cache"):
-            cfg = StructuredConfig(iters=self.controller.solver.iters)
+            cfg = self.solver_cfg if self.solver_cfg is not None \
+                else StructuredConfig(iters=self.controller.solver.iters)
             object.__setattr__(self, "_simpc_cache",
                                StructuredIMPC(self.controller, cfg))
         return self._simpc_cache
@@ -169,7 +176,10 @@ class MultiAgentSim:
                 states, ref, blobs, mask, warm=warm,
                 warm_duals=warm_duals)
             if return_duals:
-                return res.coeffs, res.success, res.flyable, (res.ys, res.yd)
+                # IPM-family solvers carry no ADMM duals (res.ys is None);
+                # return None so the rollout carry keeps a uniform structure
+                duals = (res.ys, res.yd) if res.ys is not None else None
+                return res.coeffs, res.success, res.flyable, duals
             return res.coeffs, res.success, res.flyable
 
         blobs_b = self._blobs(states)
@@ -264,11 +274,13 @@ class MultiAgentSim:
         # dual warm-start carry (structured path only): the previous
         # step's ADMM duals, h-unshifted (row identities are stable
         # across steps — same constraint families in the same slots)
-        if self.structured:
+        if self.structured and hasattr(self._structured_impc().op_qp, "m_s"):
             op_qp = self._structured_impc().op_qp
             duals0 = (jnp.zeros((A, op_qp.m_s), dt),
                       jnp.zeros((A, op_qp.m_d), dt))
         else:
+            # dense path, or an IPM-family structured solver (no ADMM
+            # dual carry — the IPM re-enters from its own cold start)
             duals0 = None
 
         def step(carry, k):

@@ -111,3 +111,23 @@ def test_global_mesh_and_host_scenarios():
     np.testing.assert_allclose(np.asarray(g["pos"]), batch["pos"])
     # sharded over the scenario axis of the mesh
     assert len(g["pos"].sharding.device_set) == 8
+
+
+def test_scenario_axis_collective_free():
+    """The scenario-sharded flagship control step must compile with ZERO
+    cross-device collectives at 8 devices — the property that makes weak
+    scaling linear by construction on real chips (scripts/weak_scaling.py;
+    wall-clock scaling on the 2-core virtual mesh only measures host
+    oversubscription, so the communication-free HLO is the evidence the
+    framework controls)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from weak_scaling import build_sharded_step, count_collectives
+
+    compiled, args = build_sharded_step(n_dev=8, total_batch=16)
+    hlo = compiled.as_text()
+    assert count_collectives(hlo) == 0, "scenario axis emitted collectives"
+    out = compiled(*args)
+    assert bool(jnp.all(jnp.isfinite(out[0])))
