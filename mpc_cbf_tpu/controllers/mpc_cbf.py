@@ -721,8 +721,8 @@ class StructuredIMPC:
             if it == 0:
                 pred, active = pred0, active0
             else:
-                pos = (coeffs @ pos_E.T).reshape(B, H, op.dim)
-                vel = (coeffs @ vel_E.T).reshape(B, H, op.dim)
+                pos = (coeffs @ pos_E.T.astype(coeffs.dtype)).reshape(B, H, op.dim)
+                vel = (coeffs @ vel_E.T.astype(coeffs.dtype)).reshape(B, H, op.dim)
                 pred = jnp.concatenate([pos, vel], axis=-1)
                 active = jnp.ones(H, bool)
             A_d, lb_d, ub_d = jax.vmap(
@@ -739,7 +739,11 @@ class StructuredIMPC:
             else:
                 sol = op_solve.solve(q, lb_s, ub_s, A_d, lb_d, ub_d, x0=x0,
                                      ys0=ys0, yd0=yd0)
-            coeffs = sol.z[:, : op.n_dec]
+            # cast back to the caller's dtype: certifying solvers return
+            # f64 under x64, but the sim/scan layer carries the input
+            # dtype (the f32 round-off ~1e-7 is far below the 1e-3
+            # certificate bar)
+            coeffs = sol.z[:, : op.n_dec].astype(dt)
             x0 = sol.z
             ys0, yd0 = getattr(sol, "ys", None), getattr(sol, "yd", None)
             finite = jnp.all(jnp.isfinite(sol.z), axis=-1)

@@ -73,3 +73,37 @@ def test_fov_sensing_radius_masks_far_neighbors():
     # sensing_radius <= 0 disables the mask
     sim_off = MultiAgentSim(ctrl, 4, sensing_radius=0.0)
     assert np.asarray(sim_off._neighbor_mask(st, sim_off._blobs(st))).all()
+
+
+def test_fov_ipm_production_sim_closed_loop():
+    """The round-5 fov production solver (f32 Mehrotra IPM) and the
+    certified pipeline (HYBRID_PROD) both fly the 4-robot rotate
+    instance closed-loop: goals reached, no close approach, solver
+    success ~1. Mirrors what bench.py/__graft_entry__ ship."""
+    from mpc_cbf_tpu.ops.cbf import FovCBF
+    from mpc_cbf_tpu.ops.qp.ipm import HYBRID_PROD, IPM_F32_ENTRY
+    from mpc_cbf_tpu.controllers import FovIMPCCBF
+
+    mpc = MPCParams()
+    op = BezierMPCOperator(BezierParams(), mpc, dim=3)
+    beta = 120.0 * np.pi / 180.0
+    cbf = FovCBF(beta, 0.3, 6.0, jnp.asarray(mpc.v_min),
+                 jnp.asarray(mpc.v_max))
+    ctrl = FovIMPCCBF(op, cbf, IMPCParams(slack_mode=True), 3,
+                      box_half_extents=np.array([0.1, 0.1, 0.0]))
+    inst = circle_rotate_instance(4, radius=2.5)
+    so = np.asarray(inst["tasks"]["so"], np.float32)
+    sf = np.asarray(inst["tasks"]["sf"], np.float32)
+    init = State(pos=jnp.asarray(so), vel=jnp.zeros((4, 3), jnp.float32))
+    goals = jnp.asarray(sf)
+
+    for cfg in (IPM_F32_ENTRY, HYBRID_PROD):
+        sim = MultiAgentSim(ctrl, 4, structured=True, solver_cfg=cfg)
+        res = sim.rollout(init, goals, 40)
+        traj = np.asarray(res.traj_pos)
+        err = np.linalg.norm(traj[-1, :, :2] - sf[:, :2], axis=-1)
+        assert err.max() < 0.5, (type(cfg).__name__, err)
+        d = traj[:, :, None, :2] - traj[:, None, :, :2]
+        dist = np.linalg.norm(d, axis=-1) + np.eye(4) * 1e9
+        assert dist.min() > 0.3
+        assert np.asarray(res.success).mean() > 0.9
