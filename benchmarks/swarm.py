@@ -56,13 +56,22 @@ def main() -> None:
     # fov at swarm scale: rows from ALL A-1 neighbors of a 32-agent ring
     # are mostly beyond the Rs=6 sensing barrier (the rows are infeasible
     # at entry — measured success 0.0 with an all-on mask), so fov mode
-    # range-masks neighbors to the sensing radius below, and the ~400-row
-    # per-lane QP needs a deeper ADMM budget than the 8-robot flagship
-    # (measured on the masked 32-agent ring: 100 iters -> 0.30 usable,
-    # 300 -> 0.81, 600 -> 1.00)
-    simpc = StructuredIMPC(ctrl, StructuredConfig(
-        iters=600 if mode == "fov" else 100,
-        iters_tail=200 if mode == "fov" else None))
+    # range-masks neighbors to the sensing radius below.
+    #
+    # Solver: the f32 Mehrotra IPM (round-5 production path, mirrors
+    # bench.py). Besides the usable-rate advantage, the IPM carries NO
+    # per-lane [m_d, m_d] tensor — at m_d = 372 the ADMM's Woodbury
+    # blocks are 3 x 18.9 GB at full batch (forcing lane-chunking) while
+    # the IPM's largest per-lane tensor is [m_d, nz] — so swarm scale
+    # fits HBM without chunking. SWARM_SOLVER=admm reverts to the deep-
+    # budget ADMM (600 iters, measured 1.00 usable on the masked ring).
+    if mode == "fov" and os.environ.get("SWARM_SOLVER", "ipm") != "admm":
+        from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
+        simpc = StructuredIMPC(ctrl, IPM_F32_ENTRY)
+    else:
+        simpc = StructuredIMPC(ctrl, StructuredConfig(
+            iters=600 if mode == "fov" else 100,
+            iters_tail=200 if mode == "fov" else None))
 
     rng = np.random.default_rng(0)
     ang = 2 * np.pi * np.arange(A) / A
