@@ -45,7 +45,8 @@ def _fov_cbf(cfg: dict, mpc):
 
 
 def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
-              use_pf: bool = False, enable_connectivity: bool = False):
+              use_pf: bool = False, enable_connectivity: bool = False,
+              certified: bool = False):
     from mpc_cbf_tpu.ops.cbf import ConnectivityCBF
     from mpc_cbf_tpu.ops.qp import ADMMConfig
     from mpc_cbf_tpu.controllers import (
@@ -86,9 +87,14 @@ def build_sim(cfg: dict, controller: str, num_robots: int, solver_iters: int,
         # one structured solver launch per step for the whole agent batch.
         # fov runs the round-5 production solver (f32 Mehrotra IPM —
         # interior iterates, usable rate 0.99 vs the fused ADMM's 0.69);
-        # other controllers keep the fused Pallas ADMM.
+        # other controllers keep the fused Pallas ADMM. --certified flies
+        # the accuracy-certified pipeline (HYBRID_PROD: f32 entry +
+        # calibrated f64 tail; requires jax_enable_x64).
         solver_cfg = None
-        if controller == "fov":
+        if certified:
+            from mpc_cbf_tpu.ops.qp.ipm import HYBRID_PROD
+            solver_cfg = HYBRID_PROD
+        elif controller == "fov":
             from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
             solver_cfg = IPM_F32_ENTRY
         return MultiAgentSim(ctrl, num_robots, noise_pos_std=pos_std,
@@ -131,6 +137,11 @@ def main(argv=None) -> int:
                    help="turn on the MPC-level lambda2/CLF constraint family "
                         "(the block the reference ships commented out, "
                         "ConnectivityIMPCCBF.cpp:144-157)")
+    p.add_argument("--certified", action="store_true",
+                   help="IMPC controllers: fly the accuracy-certified "
+                        "pipeline (HYBRID_PROD f32 entry + calibrated f64 "
+                        "tail; every certified curve <1e-3 vs the exact "
+                        "optimum). Enables jax_enable_x64.")
     p.add_argument("--out", default="states.json")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
@@ -142,12 +153,15 @@ def main(argv=None) -> int:
         force_platform(args.platform)
     from mpc_cbf_tpu.utils.runtime import enable_compile_cache
     enable_compile_cache()
+    if args.certified:
+        jax.config.update("jax_enable_x64", True)
 
     cfg = cfgmod.load_config(args.base, args.task)
     so, sf = cfgmod.parse_tasks(cfg)
     R = so.shape[0]
     sim, mpc = build_sim(cfg, args.controller, R, args.solver_iters, use_pf=args.pf,
-                         enable_connectivity=args.enable_connectivity)
+                         enable_connectivity=args.enable_connectivity,
+                         certified=args.certified)
 
     steps = int(round(args.sim_runtime / mpc.h))
     init = State(pos=jnp.asarray(so, jnp.float32), vel=jnp.zeros((R, 3), jnp.float32))

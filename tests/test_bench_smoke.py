@@ -83,3 +83,13 @@ def test_bench_fov_certified_path_compiles_and_runs():
 def test_bench_connectivity_ipm_path_compiles_and_runs():
     success, _ = _run("connectivity", accuracy="ipm")
     assert success.mean() == 1.0
+
+
+def test_bench_connectivity_certified_path_compiles_and_runs():
+    # the certified pipeline generalizes across variants: on the cheap
+    # connectivity family it certifies ~1.0 (0.9999 on the 32,768-lane
+    # hardware ensemble, BENCH.md round 5)
+    success, certified = _run("connectivity", batch=16, accuracy="certified")
+    assert success.mean() == 1.0
+    assert certified.mean() >= 0.9
+    assert (certified <= success).all()
