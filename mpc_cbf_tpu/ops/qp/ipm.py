@@ -343,13 +343,18 @@ class StructuredIPM:
         eyef = jnp.eye(nz, dtype=f64)
 
         tiny = float(jnp.finfo(f64).tiny)
-        # backend-static dispatch: hand-rolled Cholesky for f64 on TPU-like
-        # backends only — the custom-call pathology is TPU f64 EMULATION;
-        # CPU (LAPACK) and GPU (cuSOLVER) have fast native f64
-        # factorizations that beat the sequential fori_loop
+        # backend-static dispatch: hand-rolled Cholesky on TPU-like
+        # backends for BOTH dtypes — the Cholesky/TriangularSolve custom
+        # calls dominate the solve there at ANY precision, not just under
+        # f64 emulation: ablation on the f32 fov flagship (batch 8192,
+        # scripts/profile_ipm_parts.py) measured 430 ms full vs 44 ms
+        # with the factorization stubbed (~90% custom calls), and
+        # switching to the fori-loop factorization took the same solve
+        # 427 -> 65 ms (19.2k -> 126k lanes/s) at an IDENTICAL usable
+        # rate. CPU (LAPACK) and GPU (cuSOLVER) keep their fast native
+        # factorizations.
         use_hand_chol = cfg.hand_chol if cfg.hand_chol is not None else (
-            self.dt == jnp.float64
-            and jax.default_backend() not in ("cpu", "gpu"))
+            jax.default_backend() not in ("cpu", "gpu"))
 
         def body(carry, _):
             v, t, zl, zu, frozen = carry
