@@ -49,6 +49,113 @@ from mpc_cbf_tpu.types import Array, BIG
 from mpc_cbf_tpu.ops.qp.linsolve import chol_factor_jax, chol_solve_jax
 
 
+# ---------------------------------------------------------------------------
+# double-f32 weighted Gram: H += sum_m w_m g_m g_m^T to ~1e-13 relative
+# ---------------------------------------------------------------------------
+# XLA's TPU f64 emulation runs the H-formation einsums at ~1% of VPU
+# throughput (measured 107 ms/iteration at batch 2048 — the dominant
+# cost of the certified tail). This computes the same contraction with
+# explicit double-f32 arithmetic (each f64 as an (hi, lo) f32 pair;
+# Dekker two-prod per term, compensated two-sum accumulation over the
+# row axis) in vectorized f32 ops XLA compiles well: measured 28 ms for
+# the same shapes at 1.2e-13 max relative error across a 1e-6..1e12
+# weight range (scripts/proto_df32.py) — far inside the ~1e-12 the
+# cond~1e8 KKT factorization needs. The dual-residual matvecs stay in
+# true f64: duals reach ~1e12 on active rows and cancel to O(1), where
+# an f32-accumulated contraction would leave ~1e5 absolute error.
+
+_DF32_SPLIT = np.float32(4097.0)        # 2^12 + 1 (Dekker split for f32)
+
+
+def _barrier(x):
+    """Keep XLA's algebraic simplifier from contracting error-free
+    float transforms (e.g. a1 - (a1 - a) -> a), which would silently
+    destroy the compensation.
+
+    Backend status (measured, round 5): on TPU — the only backend whose
+    auto-gate enables this path — the jitted scheme is EXACT: 8.6e-14
+    max relative error vs a host numpy f64 reference across a 1e-6..1e12
+    weight range, bit-identical to the eager execution. XLA:CPU's jit
+    pipeline still degrades it to ~1.4e-8 even with every intermediate
+    barriered (its vectorizer reorders the compensated ops; eager CPU is
+    exact) — one more reason the auto-gate keeps native f64 einsums on
+    CPU/GPU. If a future TPU compiler ever defeated the barriers, the
+    failure mode is SAFE: certification rests on the true-f64
+    residual/complementarity checks, so a degraded H only lowers the
+    acceptance rate, never falsely certifies."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _two_prod(a, b):
+    """Exact f32 product a*b as (p, e): p + e == a*b (no-FMA Dekker)."""
+    p = a * b
+    a1 = a * _DF32_SPLIT
+    ah = a1 - _barrier(a1 - a)
+    al = a - ah
+    b1 = b * _DF32_SPLIT
+    bh = b1 - _barrier(b1 - b)
+    bl = b - bh
+    e = (_barrier(ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _two_sum(a, b):
+    """Exact f32 sum a+b as (s, e)."""
+    s = a + b
+    v = _barrier(s - a)
+    e = (a - _barrier(s - v)) + (b - v)
+    return s, e
+
+
+def _split64(x):
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def df32_gram(G: Array, W: Array) -> Array:
+    """sum_m W[b, m] * outer(G[.., m, :], G[.., m, :]) in double-f32.
+
+    G: [m, nz] (shared rows) or [B, m, nz] (per-lane rows), f64.
+    W: [B, m] f64 (non-negative IPM weights, any dynamic range).
+    Returns [B, nz, nz] f64, accurate to ~1e-13 relative.
+    """
+    B = W.shape[0]
+    nz = G.shape[-1]
+    Gh, Gl = _split64(G)
+    Wh, Wl = _split64(W)
+    shared = G.ndim == 2
+
+    def body(carry, inputs):
+        acc_h, acc_l = carry
+        gh, gl, wh, wl = inputs
+        if shared:
+            oij_p, oij_e = _two_prod(gh[:, None], gh[None, :])  # [nz, nz]
+            cross = gh[:, None] * gl[None, :] + gl[:, None] * gh[None, :]
+            t_p, t_e = _two_prod(wh[:, None, None], oij_p[None])
+            t_e = t_e + wh[:, None, None] * (oij_e + cross)[None] \
+                + wl[:, None, None] * oij_p[None]
+        else:
+            oij_p, oij_e = _two_prod(gh[:, :, None], gh[:, None, :])
+            cross = gh[:, :, None] * gl[:, None, :] \
+                + gl[:, :, None] * gh[:, None, :]
+            t_p, t_e = _two_prod(wh[:, None, None], oij_p)
+            t_e = t_e + wh[:, None, None] * (oij_e + cross) \
+                + wl[:, None, None] * oij_p
+        s, e1 = _two_sum(acc_h, t_p)
+        return (s, acc_l + (e1 + t_e)), None
+
+    if shared:
+        xs = (Gh, Gl, jnp.moveaxis(Wh, 1, 0), jnp.moveaxis(Wl, 1, 0))
+    else:
+        xs = (jnp.moveaxis(Gh, 1, 0), jnp.moveaxis(Gl, 1, 0),
+              jnp.moveaxis(Wh, 1, 0), jnp.moveaxis(Wl, 1, 0))
+    acc0 = (jnp.zeros((B, nz, nz), jnp.float32),
+            jnp.zeros((B, nz, nz), jnp.float32))
+    (h, l), _ = jax.lax.scan(body, acc0, xs)
+    return h.astype(jnp.float64) + l.astype(jnp.float64)
+
+
 @dataclasses.dataclass(frozen=True)
 class IPMConfig:
     iters: int = 30
@@ -100,6 +207,11 @@ class IPMConfig:
     #: TPU; LAPACK on CPU); True/False forces. True is how CPU tests
     #: exercise the TPU factorization path.
     hand_chol: Optional[bool] = None
+    #: None = auto: form the weighted Gram H with the double-f32
+    #: compensated contraction (df32_gram, ~4x the emulated-f64 einsum
+    #: at 1e-13 accuracy) for f64 solves on TPU-like backends; True/False
+    #: forces. True is how CPU tests exercise the TPU formation path.
+    df32_hform: Optional[bool] = None
     #: "f64" (the certified path) or "f32". The f32 profile exists to run
     #: the SAME algorithm on the MXU at production speed as an ENTRY-POINT
     #: generator for the f64 tail (HybridIPM below): at f32
@@ -355,6 +467,11 @@ class StructuredIPM:
         # factorizations.
         use_hand_chol = cfg.hand_chol if cfg.hand_chol is not None else (
             jax.default_backend() not in ("cpu", "gpu"))
+        # double-f32 H formation: only worthwhile where f64 is emulated
+        # (TPU); CPU/GPU native f64 einsums are faster than the scheme
+        use_df32_hform = cfg.df32_hform if cfg.df32_hform is not None else (
+            self.dt == jnp.float64
+            and jax.default_backend() not in ("cpu", "gpu"))
 
         def body(carry, _):
             v, t, zl, zu, frozen = carry
@@ -379,11 +496,16 @@ class StructuredIPM:
             frozen = frozen | (mu < cfg.mu_freeze)
 
             D = jnp.where(has_l, zl / g_l, 0.0) + jnp.where(has_u, zu / g_u, 0.0)
-            H = Pg + cfg.reg * eyef[None] \
-                + jnp.einsum("mi,bm,mj->bij", self.GsZb, D[:, :m_si], self.GsZb,
-                             preferred_element_type=f64) \
-                + jnp.einsum("bmi,bm,bmj->bij", GdZ, D[:, m_si:], GdZ,
-                             preferred_element_type=f64)
+            if use_df32_hform:
+                H = Pg + cfg.reg * eyef[None] \
+                    + df32_gram(self.GsZb, D[:, :m_si]) \
+                    + df32_gram(GdZ, D[:, m_si:])
+            else:
+                H = Pg + cfg.reg * eyef[None] \
+                    + jnp.einsum("mi,bm,mj->bij", self.GsZb, D[:, :m_si],
+                                 self.GsZb, preferred_element_type=f64) \
+                    + jnp.einsum("bmi,bm,bmj->bij", GdZ, D[:, m_si:], GdZ,
+                                 preferred_element_type=f64)
             if use_hand_chol:
                 # f64 on TPU: the Cholesky/TriangularSolve custom calls
                 # lower through block-inversion paths whose f64 emulation
