@@ -203,6 +203,11 @@ def main(argv=None) -> int:
         "solver_success_rate": float(np.asarray(res.success, dtype=np.float32).mean()),
         "out": args.out,
     }
+    # fraction of flown curves carrying the <1e-3 accuracy certificate
+    # (certifying solvers only — see SimResult.certified)
+    if args.certified and getattr(res, "certified", None) is not None:
+        summary["certified_rate"] = float(
+            np.asarray(res.certified, dtype=np.float32).mean())
     print(json.dumps(summary))
     return 0 if ok else 1
 

@@ -41,6 +41,10 @@ class SimResult(NamedTuple):
     traj_vel: Array          # [.., T, A, dim]
     success: Array           # [.., T, A] per-step solver success
     coeffs: Array            # final curve coefficients [.., A, n_dec]
+    # [.., T, A] bool: the step's flown curve carries the <1e-3 accuracy
+    # certificate (certifying solvers only — all-False on raw paths and
+    # the dense per-agent path; see IMPCResult.certified)
+    certified: Optional[Array] = None
 
 
 def _neighbor_blob_connectivity(states: State, i: Array, num_agents: int) -> Array:
@@ -179,7 +183,9 @@ class MultiAgentSim:
                 # IPM-family solvers carry no ADMM duals (res.ys is None);
                 # return None so the rollout carry keeps a uniform structure
                 duals = (res.ys, res.yd) if res.ys is not None else None
-                return res.coeffs, res.success, res.flyable, duals
+                cert = res.certified if res.certified is not None \
+                    else jnp.zeros_like(res.success)
+                return res.coeffs, res.success, res.flyable, duals, cert
             return res.coeffs, res.success, res.flyable
 
         blobs_b = self._blobs(states)
@@ -194,7 +200,8 @@ class MultiAgentSim:
         warm_b = warm if warm is not None else jnp.zeros((A, ctrl.n), states.pos.dtype)
         coeffs, success, flyable = jax.vmap(one)(jnp.arange(A), warm_b)
         if return_duals:
-            return coeffs, success, flyable, None
+            # dense path: no dual carry, no certification
+            return coeffs, success, flyable, None, jnp.zeros_like(success)
         return coeffs, success, flyable
 
     def _shift_matrix(self) -> np.ndarray:
@@ -287,7 +294,7 @@ class MultiAgentSim:
             states, warm, duals, cur_coeffs, age, has_curve = carry
             out = self.control_step(states, goals, warm, warm_duals=duals,
                                     return_duals=True)
-            new_coeffs, success, fresh, new_duals = out
+            new_coeffs, success, fresh, new_duals, cert = out
             if new_duals is None:
                 new_duals = duals
             # agents with no flyable result keep their previous curve
@@ -300,16 +307,17 @@ class MultiAgentSim:
             warm_new = jnp.zeros_like(warm).at[:, : cur_coeffs.shape[-1]].set(
                 cur_coeffs @ SHIFT.T)
             return ((new_states, warm_new, new_duals, cur_coeffs, age, has_curve),
-                    (new_states.pos, new_states.vel, success, cur_coeffs))
+                    (new_states.pos, new_states.vel, success, cur_coeffs, cert))
 
         keys = jax.random.split(key, num_steps)
         warm0 = jnp.zeros((A, n), dt)
         carry0 = (init, warm0, duals0,
                   jnp.zeros((A, self.controller.op.n_dec), dt),
                   jnp.zeros(A, jnp.int32), jnp.zeros(A, bool))
-        (final, *_), (tp, tv, succ, coeffs) = jax.lax.scan(step, carry0, keys)
+        (final, *_), (tp, tv, succ, coeffs, cert) = jax.lax.scan(
+            step, carry0, keys)
         return SimResult(states=final, traj_pos=tp, traj_vel=tv,
-                         success=succ, coeffs=coeffs[-1])
+                         success=succ, coeffs=coeffs[-1], certified=cert)
 
 
 def sharded_rollout(sim: MultiAgentSim, mesh: Mesh, init: State, goals: Array,

@@ -107,3 +107,11 @@ def test_fov_ipm_production_sim_closed_loop():
         dist = np.linalg.norm(d, axis=-1) + np.eye(4) * 1e9
         assert dist.min() > 0.3
         assert np.asarray(res.success).mean() > 0.9
+        # the per-step certificate propagates through the rollout: the
+        # certified pipeline certifies most flown curves, the raw f32
+        # profile must certify NONE
+        cert_rate = float(np.asarray(res.certified).mean())
+        if cfg is HYBRID_PROD:
+            assert cert_rate >= 0.8, cert_rate
+        else:
+            assert cert_rate == 0.0, cert_rate
