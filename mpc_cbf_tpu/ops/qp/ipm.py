@@ -465,8 +465,12 @@ class StructuredIPM:
         # 427 -> 65 ms (19.2k -> 126k lanes/s) at an IDENTICAL usable
         # rate. CPU (LAPACK) and GPU (cuSOLVER) keep their fast native
         # factorizations.
+        # batch gate: at tiny batches the sequential fori steps dominate
+        # instead (measured crossover B~16-32 on v5e through the tunnel:
+        # B=8 custom calls 25.0 vs fori 29.8 ms; B>=32 fori wins, 8x by
+        # B=8192) — B is trace-static, so the pick costs nothing
         use_hand_chol = cfg.hand_chol if cfg.hand_chol is not None else (
-            jax.default_backend() not in ("cpu", "gpu"))
+            jax.default_backend() not in ("cpu", "gpu") and B >= 16)
         # double-f32 H formation: only worthwhile where f64 is emulated
         # (TPU); CPU/GPU native f64 einsums are faster than the scheme
         use_df32_hform = cfg.df32_hform if cfg.df32_hform is not None else (
