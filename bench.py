@@ -119,13 +119,14 @@ def build(mode: str, batch: int, accuracy: str = ""):
         # two-part certificate with zero leaks, scripts/calibrate_tail.py)
         from mpc_cbf_tpu.ops.qp.ipm import HYBRID_PROD
         simpc = StructuredIMPC(ctrl, HYBRID_PROD)
-    elif accuracy == "" and mode == "fov" \
-            and os.environ.get("BENCH_SOLVER", "ipm") != "admm":
-        # fov raw production path (round 5): the f32 Mehrotra IPM at the
-        # same ~16k lanes/s as the fused ADMM kernel but with INTERIOR
-        # (feasible-by-construction) iterates — usable-lane rate 0.993 vs
-        # ADMM's 0.69, whose failures stall on the sampled accel/vel
-        # bound rows (92% of failed lanes, scripts/diagnose_fov_failures).
+    elif accuracy == "" and os.environ.get("BENCH_SOLVER", "ipm") != "admm":
+        # raw production path (round 5): the f32 Mehrotra IPM with the
+        # fori-loop factorization. INTERIOR (feasible-by-construction)
+        # iterates lift fov usable 0.69 -> 0.997 (the ADMM failures stall
+        # on the sampled accel/vel bound rows — 92% of failed lanes,
+        # scripts/diagnose_fov_failures), and the throughput beats the
+        # fused ADMM on BOTH variants (fov 156k vs 16k; connectivity
+        # 597k at 1.00 vs 238k at 0.993 — measured batch 8192/32768).
         # BENCH_SOLVER=admm reverts to the fused-ADMM path.
         from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
         simpc = StructuredIMPC(ctrl, IPM_F32_ENTRY)
