@@ -65,7 +65,7 @@ def main() -> None:
     # the IPM's largest per-lane tensor is [m_d, nz] — so swarm scale
     # fits HBM without chunking. SWARM_SOLVER=admm reverts to the deep-
     # budget ADMM (600 iters, measured 1.00 usable on the masked ring).
-    if mode == "fov" and os.environ.get("SWARM_SOLVER", "ipm") != "admm":
+    if os.environ.get("SWARM_SOLVER", "ipm") != "admm":
         from mpc_cbf_tpu.ops.qp.ipm import IPM_F32_ENTRY
         simpc = StructuredIMPC(ctrl, IPM_F32_ENTRY)
     else:
